@@ -1,0 +1,23 @@
+"""Test configuration: run the whole suite hermetically on CPU with a virtual
+8-device mesh so sharding tests need no TPU hardware."""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# NOTE: x64 is deliberately NOT enabled — float64 on this XLA CPU backend is
+# pathologically slow (>100s for a trivial op). JAX paths are float32; the
+# float64 oracles are numpy/scipy, with tolerances set accordingly.
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
