@@ -1,0 +1,66 @@
+"""Per-task sampling as pure index math (reference ``TaskWrapper``,
+``utils.py:21-76``).
+
+The reference builds, per epoch, a per-task random permutation matrix on
+device (``rand().argsort() + task_offset``, ``utils.py:34-36``); each item
+``idx`` then yields one random window of *every* task — a (n_tasks, …) slab —
+with labels ``arange(n_tasks)``. We keep exactly that scheme, jax.random
+flavored: everything is an index matrix, every batch is one fused gather, and
+a whole epoch of batches is a single array the training ``lax.scan``
+iterates over.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def task_permutations(key: jax.Array, n_tasks: int, D: int) -> jax.Array:
+    """(n_tasks, D) int32 — row ``t`` is a permutation of ``[tD, (t+1)D)``
+    (reference ``TaskWrapper.return_rand``, utils.py:34-36)."""
+    keys = jax.random.split(key, n_tasks)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, D))(keys)
+    offsets = (jnp.arange(n_tasks, dtype=perms.dtype) * D)[:, None]
+    return perms + offsets
+
+
+def epoch_batches(key: jax.Array, D: int, batch_size: int) -> jax.Array:
+    """(n_batches, batch_size) item indices for one epoch.
+
+    Equivalent to DataLoader(shuffle=True) over the D items
+    (``train.py:86``). ``batch_size`` is clamped to D; a trailing partial
+    batch is dropped to keep shapes static (with the canonical geometry —
+    D=1800/bs=8 train, D=24 val, D=48 test with bs·8 ≥ 48 clamped to 48 —
+    nothing is ever dropped).
+    """
+    bs = min(batch_size, D)
+    order = jax.random.permutation(key, D)
+    n_batches = D // bs
+    return order[: n_batches * bs].reshape(n_batches, bs)
+
+
+def gather_train_batch(
+    emg_flat: jax.Array, emg_rand: jax.Array, items: jax.Array
+) -> jax.Array:
+    """(bs, n_tasks, emg_dim) — one window per task per item
+    (reference ``utils.py:51-64`` + ``load.py:256-259``)."""
+    idx = emg_rand[:, items].T  # (bs, n_tasks)
+    return emg_flat[idx]
+
+
+def gather_eval_batch(
+    emg_groups: jax.Array, emg_rand: jax.Array, items: jax.Array
+) -> jax.Array:
+    """(bs, n_tasks, output_dim, emg_dim) — one voting group per task per
+    item (reference ``load.py:264-266``)."""
+    idx = emg_rand[:, items].T
+    return emg_groups[idx]
+
+
+def gather_glove_batch(
+    glove_flat: jax.Array, glove_rand: jax.Array, items: jax.Array, D_glove: int
+) -> jax.Array:
+    """(bs, n_tasks, glove_dim) (reference ``utils.py:53``: glove items wrap
+    modulo the glove corpus size)."""
+    idx = glove_rand[:, items % D_glove].T
+    return glove_flat[idx]
