@@ -1,0 +1,25 @@
+"""Checkpointing (reference ``torch.save(model.state_dict())``,
+``train.py:122-126``; reload at ``train.py:216`` / ``results.py:92-93``).
+
+Uses flax's msgpack serialization of the full ``TrainState`` pytree
+(params + batch-stats + both Adam states) so warm starts (``--load_model``,
+train.py:68-70) resume the optimizers too — a strict superset of the
+reference's weights-only checkpoint.
+"""
+from __future__ import annotations
+
+import os
+
+from flax import serialization
+
+
+def save_checkpoint(path: str, state) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def load_checkpoint(path: str, template):
+    """Restore into the structure of ``template`` (a freshly built state)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

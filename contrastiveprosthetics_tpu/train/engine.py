@@ -1,0 +1,308 @@
+"""The training engine: whole epochs as single jitted XLA programs.
+
+Reference train loop (train.py:65-138) per batch: Python DataLoader drives
+GPU gathers, a Python loop computes per-item CE, two Adam steps. Here one
+``lax.scan`` over the per-epoch batch-index matrix runs gather → forward →
+vectorized loss → both Adam updates entirely on device; an epoch is one
+dispatch. Evaluation likewise scans eval batches and computes the voting
+curves with the cumsum kernel.
+
+Everything hyperparameter-shaped (lr, reg, dropout) is a *traced* input, so
+``jax.vmap`` over the hyper/state axis turns the 150-config random search
+into a single XLA program training all configs simultaneously (see
+``train/crossval.py``) — that is where the ≥10×/chip target is won.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from contrastiveprosthetics_tpu.config import Config
+from contrastiveprosthetics_tpu.data.sampler import (
+    epoch_batches,
+    gather_eval_batch,
+    gather_glove_batch,
+    gather_train_batch,
+    task_permutations,
+)
+from contrastiveprosthetics_tpu.data.store import DeviceStore, SplitView
+from contrastiveprosthetics_tpu.models.clip import ContrastiveModel, l2_penalty
+from contrastiveprosthetics_tpu.train.loss import (
+    contrastive_train_accuracy,
+    prediction_accuracy,
+    prediction_loss,
+    prediction_vote_accuracy,
+    symmetric_contrastive_loss,
+)
+from contrastiveprosthetics_tpu.eval.voting import vote_from_logits
+
+
+class Hyper(NamedTuple):
+    """Traced hyperparameters (the reference's ``params`` dict minus the
+    static d_e/epochs, train.py:149-153,202-211)."""
+
+    lr_emg: jax.Array
+    reg_emg: jax.Array
+    dp_emg: jax.Array
+    lr_glove: jax.Array
+    reg_glove: jax.Array
+    dp_glove: jax.Array
+
+    @classmethod
+    def single(cls, lr_emg, reg_emg, dp_emg, lr_glove, reg_glove, dp_glove):
+        return cls(*[jnp.float32(v) for v in
+                     (lr_emg, reg_emg, dp_emg, lr_glove, reg_glove, dp_glove)])
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_emg: Any
+    opt_glove: Any
+
+
+class EvalResult(NamedTuple):
+    loss: jax.Array      # scalar mean loss
+    accuracy: jax.Array  # scalar voted accuracy (or frame accuracy w/o vote)
+    curve: jax.Array     # (D, n_prefix) per-item voting curves (item order)
+    y_pred: jax.Array    # (D, T)
+    y_true: jax.Array    # (D, T)
+    logits: jax.Array    # (D·W, T, T) raw logits in item order (logs.npy)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Builds and caches the jitted train/eval programs for one dataset+mode.
+
+    Structure-static switches (adabn/prediction/...) select the compiled
+    program; everything numeric is traced.
+    """
+
+    cfg: Config
+    store: DeviceStore
+    db2: bool = False
+    adabn: bool = True
+    prediction: bool = False
+    glove: bool = False
+    glove_encoding: bool = False
+    d_e: int = 16
+    batch_size: int = 8
+
+    def __post_init__(self):
+        self.model = ContrastiveModel(
+            d_e=self.d_e,
+            emg_dim=self.cfg.emg_dim,
+            glove_dim=self.cfg.glove_dim,
+            n_classes=self.cfg.max_tasks,
+            adabn=self.adabn,
+            prediction=self.prediction,
+            glove=self.glove,
+            glove_encoding=self.glove_encoding,
+        )
+        self.view_train = self.store.view("train", db2=self.db2)
+        self.view_val = self.store.view("val", db2=self.db2)
+        self.view_test = self.store.view("test", db2=self.db2)
+        self._opt = optax.scale_by_adam()
+        self._train_epoch_jit = None
+        self._eval_jit = {}
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key: jax.Array) -> TrainState:
+        T = self.view_train.n_tasks
+        emg = jnp.zeros((2, T, self.cfg.emg_dim), jnp.float32)
+        glove = jnp.zeros((2, T, self.cfg.glove_dim), jnp.float32)
+        variables = self.model.init(
+            {"params": key, "dropout": key}, emg, glove, 0.5, 0.5, True
+        )
+        params = dict(variables["params"])
+        # in prediction mode only the active encoder is traced/created
+        # (reference keeps both nets but only one receives gradients)
+        params.setdefault("emg_net", {})
+        params.setdefault("glove_net", {})
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_emg=self._opt.init(params["emg_net"]),
+            opt_glove=self._opt.init(params["glove_net"]),
+        )
+
+    # ------------------------------------------------------------- train step
+    def _loss_and_metrics(self, params, batch_stats, emg_b, glove_b, hyper,
+                          dropout_key, train: bool):
+        out, updates = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, train,
+            rngs={"dropout": dropout_key},
+            mutable=["batch_stats"],
+        )
+        if self.prediction:
+            T = self.view_train.n_tasks
+            labels = jnp.tile(jnp.arange(T), emg_b.shape[0])
+            loss = prediction_loss(out, labels)
+            acc = prediction_accuracy(out, labels)
+        else:
+            loss = symmetric_contrastive_loss(out)
+            acc = contrastive_train_accuracy(out)
+        new_bs = updates["batch_stats"] if not self.adabn else batch_stats
+        return loss, (acc, new_bs, out)
+
+    def _train_epoch(self, state: TrainState, key: jax.Array, hyper: Hyper,
+                     lr_emg_factor, lr_glove_factor):
+        """One full epoch: permutations + batch scan, all on device."""
+        v = self.view_train
+        k_perm, k_glove, k_order, k_drop = jax.random.split(key, 4)
+        emg_rand = task_permutations(k_perm, v.n_tasks, v.D)
+        glove_rand = task_permutations(k_glove, v.n_tasks, v.D_glove)
+        batches = epoch_batches(k_order, v.D, self.batch_size)
+
+        def grad_fn(params, batch_stats, emg_b, glove_b, dkey):
+            def loss_fn(p):
+                loss, aux = self._loss_and_metrics(
+                    p, batch_stats, emg_b, glove_b, hyper, dkey, True
+                )
+                # prediction mode penalizes only the active net
+                # (models.py:225-228)
+                total = (
+                    loss
+                    + hyper.reg_emg * l2_penalty(p.get("emg_net", {}))
+                    + hyper.reg_glove * l2_penalty(p.get("glove_net", {}))
+                )
+                return total, (loss, aux)
+            (_, (loss, (acc, new_bs, _))), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            return grads, loss, acc, new_bs
+
+        def body(carry, items):
+            state, step = carry
+            dkey = jax.random.fold_in(k_drop, step)
+            emg_b = gather_train_batch(v.emg_flat, emg_rand, items)
+            emg_b = emg_b.reshape(items.shape[0], v.n_tasks, self.cfg.emg_dim)
+            glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
+            grads, loss, acc, new_bs = grad_fn(
+                state.params, state.batch_stats, emg_b, glove_b, dkey
+            )
+            up_e, opt_emg = self._opt.update(
+                grads["emg_net"], state.opt_emg, state.params["emg_net"]
+            )
+            up_g, opt_glove = self._opt.update(
+                grads["glove_net"], state.opt_glove, state.params["glove_net"]
+            )
+            lr_e = hyper.lr_emg * lr_emg_factor
+            lr_g = hyper.lr_glove * lr_glove_factor
+            new_params = {
+                "emg_net": jax.tree_util.tree_map(
+                    lambda p, u: p - lr_e * u, state.params["emg_net"], up_e
+                ),
+                "glove_net": jax.tree_util.tree_map(
+                    lambda p, u: p - lr_g * u, state.params["glove_net"], up_g
+                ),
+            }
+            new_state = TrainState(new_params, new_bs, opt_emg, opt_glove)
+            return (new_state, step + 1), (loss, acc)
+
+        (state, _), (losses, accs) = jax.lax.scan(body, (state, 0), batches)
+        return state, losses.mean(), accs.mean()
+
+    def train_epoch(self, state, key, hyper, lr_emg_factor=1.0, lr_glove_factor=1.0):
+        if self._train_epoch_jit is None:
+            self._train_epoch_jit = jax.jit(self._train_epoch, donate_argnums=(0,))
+        return self._train_epoch_jit(
+            state, key, hyper,
+            jnp.float32(lr_emg_factor), jnp.float32(lr_glove_factor),
+        )
+
+    # ------------------------------------------------------------------ eval
+    def _evaluate(self, state: TrainState, key: jax.Array, hyper: Hyper,
+                  split: str, batch_size: int) -> EvalResult:
+        v = {"val": self.view_val, "test": self.view_test,
+             "train": self.view_train}[split]
+        cfg = self.cfg
+        W = cfg.prediction_window_size
+        n_prefix = cfg.n_voting_cols
+        T = v.n_tasks
+        k_perm, k_glove, k_order = jax.random.split(key, 3)
+        emg_rand = task_permutations(k_perm, T, v.D)
+        glove_rand = task_permutations(k_glove, T, v.D_glove)
+        batches = epoch_batches(k_order, v.D, batch_size)  # (nb, bs)
+        bs = batches.shape[1]
+
+        def body(_, items):
+            emg_b = gather_eval_batch(v.emg_groups, emg_rand, items)
+            # (bs, T, W, 12)
+            glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
+            out, _ = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, False,
+                mutable=["batch_stats"],
+            )
+            if self.prediction:
+                # (bs·T, W, C): CE over all frames, majority vote over W
+                labels = jnp.tile(jnp.arange(T), bs)
+                loss = prediction_loss(
+                    out.reshape(-1, self.cfg.max_tasks),
+                    jnp.repeat(labels, W),
+                )
+                acc = prediction_vote_accuracy(out, labels)
+                votes = jnp.argmax(
+                    jnp.sum(jax.nn.one_hot(jnp.argmax(out, -1),
+                                           self.cfg.max_tasks), axis=1),
+                    axis=-1,
+                ).reshape(bs, T)
+                curve = jnp.broadcast_to(
+                    (votes == jnp.arange(T)).astype(jnp.float32).mean(-1)[:, None],
+                    (bs, n_prefix),
+                )
+                y_true = jnp.broadcast_to(jnp.arange(T), (bs, T))
+                logits_out = jnp.zeros((bs, W, T, T), jnp.float32)
+                return None, (loss, curve, votes, y_true, logits_out)
+            logits = out
+            loss = symmetric_contrastive_loss(logits)
+            res = vote_from_logits(logits, window=W, n_prefix=n_prefix)
+            return None, (loss, res.curve, res.y_pred, res.y_true,
+                          logits.reshape(bs, W, T, T))
+
+        _, (losses, curves, y_preds, y_trues, logits) = jax.lax.scan(
+            body, None, batches
+        )
+        # un-shuffle back to item order so artifacts are deterministic
+        order = batches.reshape(-1)
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        curve = curves.reshape(-1, n_prefix)[inv]
+        y_pred = y_preds.reshape(-1, T)[inv]
+        y_true = y_trues.reshape(-1, T)[inv]
+        logits = logits.reshape(-1, W, T, T)[inv].reshape(-1, T, T)
+        return EvalResult(
+            loss=losses.mean(),
+            accuracy=curve[:, -1].mean(),
+            curve=curve,
+            y_pred=y_pred,
+            y_true=y_true,
+            logits=logits,
+        )
+
+    def _evaluate_scalars(self, state: TrainState, key: jax.Array,
+                          hyper: Hyper, split: str, batch_size: int):
+        """Metrics-only eval (no artifact tensors) — the vmap-friendly inner
+        loop of the crossval sweep."""
+        res = self._evaluate(state, key, hyper, split, batch_size)
+        return res.loss, res.accuracy
+
+    def evaluate(self, state, key, hyper, split="val",
+                 batch_size: Optional[int] = None) -> EvalResult:
+        # reference: val batches = bs, test batches = bs·8 (train.py:32,51)
+        if batch_size is None:
+            batch_size = self.batch_size if split == "val" else self.batch_size * 8
+        sig = (split, batch_size)
+        if sig not in self._eval_jit:
+            self._eval_jit[sig] = jax.jit(
+                partial(self._evaluate, split=split, batch_size=batch_size)
+            )
+        return self._eval_jit[sig](state, key, hyper)

@@ -1,0 +1,87 @@
+"""High-level training loop (reference ``train_loop``/``validate``/``test``,
+``train.py:27-138``): Python drives epochs; each epoch body is the jitted
+device program from the engine.
+
+Checkpoint rule is the reference's literal one: save whenever
+``loss_val <= max(val_losses so far)`` (train.py:122 — note *max*, which
+checkpoints nearly every epoch; kept for parity, it determines which epoch's
+weights reach test).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from contrastiveprosthetics_tpu.train.checkpoint import save_checkpoint
+from contrastiveprosthetics_tpu.train.engine import EvalResult, Hyper, Trainer
+from contrastiveprosthetics_tpu.train.schedules import schedule_factors
+
+
+@dataclasses.dataclass
+class LoopResult:
+    val_loss: float
+    val_acc: float
+    train_losses: list
+    train_accs: list
+    state: object
+
+
+def train_loop(
+    trainer: Trainer,
+    hyper: Hyper,
+    epochs: int,
+    key: jax.Array,
+    annealing: bool = False,
+    checkpoint: bool = False,
+    checkpoint_path: Optional[str] = None,
+    init_state=None,
+    verbose: bool = True,
+) -> LoopResult:
+    """Train ``epochs`` epochs, validating per epoch when verbose
+    (train.py:92-136)."""
+    k_init, key = jax.random.split(key)
+    state = init_state if init_state is not None else trainer.init_state(k_init)
+    emg_f, glove_f = schedule_factors(
+        epochs, annealing, trainer.cfg.compat_shared_steplr
+    )
+
+    val_losses = []
+    train_losses, train_accs = [], []
+    loss_val = acc_val = float("nan")
+    for e in range(epochs):
+        key, k_ep, k_val = jax.random.split(key, 3)
+        state, loss_t, acc_t = trainer.train_epoch(
+            state, k_ep, hyper, emg_f[e], glove_f[e]
+        )
+        train_losses.append(float(loss_t))
+        train_accs.append(float(acc_t))
+
+        if verbose or e == epochs - 1:
+            res = trainer.evaluate(state, k_val, hyper, split="val")
+            loss_val, acc_val = float(res.loss), float(res.accuracy)
+            val_losses.append(loss_val)
+            if verbose:
+                print(
+                    f"Epoch {e}. Train loss: {train_losses[-1]:.4f}\t"
+                    f"Val loss: {loss_val:.4f}\tVal acc: {acc_val:.6f}\t"
+                    f"Train acc: {train_accs[-1]:.4f}"
+                )
+        if checkpoint and val_losses and loss_val <= max(val_losses):
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, state)
+
+    return LoopResult(
+        val_loss=loss_val,
+        val_acc=acc_val,
+        train_losses=train_losses,
+        train_accs=train_accs,
+        state=state,
+    )
+
+
+def run_test(trainer: Trainer, state, hyper: Hyper, key: jax.Array) -> EvalResult:
+    """Final test pass (train.py:27-44): batches of batch_size·8."""
+    return trainer.evaluate(state, key, hyper, split="test")

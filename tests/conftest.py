@@ -10,6 +10,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent compilation cache: CPU compiles of the big jitted epoch programs
+# dominate suite time; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cptpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 # NOTE: x64 is deliberately NOT enabled — float64 on this XLA CPU backend is
 # pathologically slow (>100s for a trivial op). JAX paths are float32; the
 # float64 oracles are numpy/scipy, with tolerances set accordingly.

@@ -1,0 +1,102 @@
+"""End-to-end: contrastive training on separable synthetic data must learn
+(the SURVEY §7 'minimum slice'). Runs on CPU with small geometry."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG
+from contrastiveprosthetics_tpu.data.store import DeviceStore
+from contrastiveprosthetics_tpu.data.synthetic import make_processed_dataset
+from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+from contrastiveprosthetics_tpu.train.loop import run_test, train_loop
+
+CFG = DEFAULT_CONFIG
+
+
+@pytest.fixture(scope="module")
+def store():
+    emg, pos, glove = make_processed_dataset(
+        CFG, people_positions=[40, 41], separability=6.0, seed=3
+    )
+    return DeviceStore(CFG, emg, pos, glove)
+
+
+@pytest.fixture(scope="module")
+def hyper():
+    return Hyper.single(
+        lr_emg=1e-3, reg_emg=1e-6, dp_emg=0.5,
+        lr_glove=1e-3, reg_glove=1e-6, dp_glove=0.3,
+    )
+
+
+def test_contrastive_learns(store, hyper):
+    trainer = Trainer(CFG, store, adabn=False, batch_size=8)
+    res = train_loop(
+        trainer, hyper, epochs=2, key=jax.random.PRNGKey(0),
+        annealing=True, verbose=False,
+    )
+    assert res.train_losses[-1] < res.train_losses[0]
+    assert res.train_accs[-1] > 0.5  # separable classes: way above 1/41
+
+    t = run_test(trainer, res.state, hyper, jax.random.PRNGKey(1))
+    assert float(t.accuracy) > 0.5
+    assert t.curve.shape == (trainer.view_test.D, CFG.n_voting_cols)
+    assert t.y_pred.shape == (trainer.view_test.D, 41)
+    assert t.logits.shape == (trainer.view_test.D * 25, 41, 41)
+    # voting curve should not degrade with longer windows on easy data
+    curve = np.asarray(t.curve).mean(0)
+    assert curve[-1] >= curve[0] - 0.05
+
+
+def test_adabn_mode_runs(store, hyper):
+    trainer = Trainer(CFG, store, adabn=True, batch_size=8)
+    res = train_loop(
+        trainer, hyper, epochs=1, key=jax.random.PRNGKey(2), verbose=False
+    )
+    t = run_test(trainer, res.state, hyper, jax.random.PRNGKey(3))
+    assert np.isfinite(float(t.loss))
+    assert float(t.accuracy) > 1.0 / 41  # above chance
+
+
+def test_prediction_mode_runs(store, hyper):
+    trainer = Trainer(CFG, store, adabn=False, prediction=True, batch_size=8)
+    res = train_loop(
+        trainer, hyper, epochs=1, key=jax.random.PRNGKey(4), verbose=False
+    )
+    t = run_test(trainer, res.state, hyper, jax.random.PRNGKey(5))
+    assert np.isfinite(float(t.loss))
+    assert 0.0 <= float(t.accuracy) <= 1.0
+
+
+def test_checkpoint_roundtrip(store, hyper, tmp_path):
+    from contrastiveprosthetics_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    trainer = Trainer(CFG, store, adabn=False, batch_size=8)
+    state = trainer.init_state(jax.random.PRNGKey(6))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, state)
+    template = trainer.init_state(jax.random.PRNGKey(7))
+    restored = load_checkpoint(path, template)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_epoch_is_deterministic(store, hyper):
+    trainer = Trainer(CFG, store, adabn=False, batch_size=8)
+    s0 = trainer.init_state(jax.random.PRNGKey(8))
+    s1 = trainer.init_state(jax.random.PRNGKey(8))
+    key = jax.random.PRNGKey(9)
+    # donation invalidates inputs; run two fresh states through same key
+    s0b, l0, _ = trainer.train_epoch(s0, key, hyper)
+    s1b, l1, _ = trainer.train_epoch(s1, key, hyper)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s0b.params), jax.tree_util.tree_leaves(s1b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
