@@ -1,0 +1,132 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Primary metric: **sEMG training windows/sec/chip** on the canonical DB23
+workload (the BASELINE.json north-star metric): the go.sh configuration —
+DB3 view (6 amputee subjects), batch_size 8, contrastive model, plain BN —
+on synthetic data with the exact DB23 geometry (the reference holds the same
+54 MB tensor; contents don't affect throughput).
+
+One training epoch = D·n_tasks = 1800·41 = 73,800 single-frame windows
+through the full gather→forward→loss→backward→2×Adam pipeline.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md: "published: {}"), so the denominator is a documented estimate
+of the reference implementation's ceiling: its Python-level per-item CE loop
+(models.py:146), per-prefix ``torch.mode`` voting loop and DataLoader-driven
+single-frame gathers bound it to ~10 s/epoch on its 12 GB GPU ⇒ ~7,380
+windows/s. vs_baseline = measured / 7,380 (≥10 ⇒ the BASELINE.md target).
+
+Extra metrics (stderr, not the JSON contract): eval windows/s and p50
+per-tick streaming-inference latency.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_WPS = 7380.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.data.store import DeviceStore
+    from contrastiveprosthetics_tpu.data.synthetic import make_processed_dataset
+    from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    emg, pos, glove = make_processed_dataset(cfg)  # full 46-person geometry
+    store = DeviceStore(cfg, emg, pos, glove, device=dev)
+    trainer = Trainer(cfg, store, adabn=False, batch_size=8)
+    hyper = Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
+
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(key)
+    v = trainer.view_train
+    windows_per_epoch = v.D * v.n_tasks
+
+    # --- warm-up (compile) ---
+    state, loss, _ = trainer.train_epoch(state, jax.random.fold_in(key, 0), hyper)
+    jax.block_until_ready(loss)
+
+    # --- timed training epochs ---
+    n_epochs = 5
+    t0 = time.perf_counter()
+    for e in range(1, n_epochs + 1):
+        state, loss, _ = trainer.train_epoch(
+            state, jax.random.fold_in(key, e), hyper
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    train_wps = n_epochs * windows_per_epoch / dt
+    print(
+        f"train: {n_epochs} epochs in {dt:.3f}s → {train_wps:,.0f} windows/s",
+        file=sys.stderr,
+    )
+
+    # --- eval throughput (test view, voting pipeline) ---
+    res = trainer.evaluate(state, jax.random.fold_in(key, 99), hyper, split="test")
+    jax.block_until_ready(res.loss)
+    vt = trainer.view_test
+    eval_windows = vt.D * vt.n_tasks * cfg.prediction_window_size
+    t0 = time.perf_counter()
+    reps = 10
+    for i in range(reps):
+        res = trainer.evaluate(
+            state, jax.random.fold_in(key, 100 + i), hyper, split="test"
+        )
+    jax.block_until_ready(res.loss)
+    eval_wps = reps * eval_windows / (time.perf_counter() - t0)
+    print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline)", file=sys.stderr)
+
+    # --- p50 streaming-inference latency per 10 ms tick ---
+    try:
+        from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+        from contrastiveprosthetics_tpu.serve.stream import StreamingEngine
+
+        model = ContrastiveModel(d_e=16, adabn=False, n_classes=cfg.max_tasks)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        engine = StreamingEngine(
+            cfg, model, variables,
+            emg_mean=np.zeros(cfg.emg_dim, np.float32),
+            emg_std=np.ones(cfg.emg_dim, np.float32),
+        )
+        carry = engine.init_carry()
+        block = np.random.default_rng(0).standard_normal(
+            (cfg.factor, cfg.emg_dim)
+        ).astype(np.float32)
+        carry, p, vvote, _ = engine.step(carry, block)  # compile
+        jax.block_until_ready(p)
+        lat = []
+        for _ in range(200):
+            t0 = time.perf_counter()
+            carry, p, vvote, _ = engine.step(carry, block)
+            jax.block_until_ready(p)
+            lat.append(time.perf_counter() - t0)
+        p50 = float(np.percentile(lat, 50) * 1e3)
+        print(f"serve: p50 per-tick latency {p50:.3f} ms "
+              f"(budget 10 ms/tick)", file=sys.stderr)
+    except Exception as e:
+        print(f"serve bench skipped: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "semg_train_windows_per_sec_per_chip",
+                "value": round(train_wps, 1),
+                "unit": "windows/s",
+                "vs_baseline": round(train_wps / REFERENCE_BASELINE_WPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

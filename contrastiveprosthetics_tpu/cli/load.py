@@ -1,0 +1,100 @@
+"""Ingest CLI — parity with the reference's ``load.py`` entry point
+(``load.py:300-323``): ``--load`` builds the EMG tensor, ``--load_glove``
+the glove corpus, ``--info`` prints split geometry, ``--viz`` renders one
+(person, task, rep) signal. Additive: ``--root`` (raw .mat tree),
+``--data_dir`` (artifact output), ``--people`` (partial ingest),
+``--backend`` (jax|scipy), ``--synthetic_fixture`` (write a fabricated .mat
+tree first, for smoke tests without the 10 GB corpus).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Loading ninapro dataset")
+    # reference flags (load.py:300-312)
+    p.add_argument("--task", type=int, default=0)
+    p.add_argument("--rep", type=int, default=0)
+    p.add_argument("--person", type=int, default=0)
+    p.add_argument("--load", action="store_true")
+    p.add_argument("--load_glove", action="store_true")
+    p.add_argument("--viz", action="store_true")
+    p.add_argument("--info", action="store_true")
+    p.add_argument("--complete", action="store_true")
+    p.add_argument("--no_glove", action="store_true")
+    # additive
+    p.add_argument("--root", type=str, default=".")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--people", type=int, nargs="*", default=None,
+                   help="canonical person positions to ingest (default all)")
+    p.add_argument("--backend", choices=["jax", "scipy"], default="jax")
+    p.add_argument("--synthetic_fixture", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.data.ingest import ingest_emg, ingest_glove
+
+    if args.synthetic_fixture:
+        from contrastiveprosthetics_tpu.data.synthetic import (
+            write_emg_mat_files,
+            write_glove_mat_files,
+        )
+
+        positions = args.people if args.people is not None else list(range(2))
+        print(f"writing synthetic .mat fixture to {args.root}")
+        write_emg_mat_files(args.root, cfg, positions)
+        write_glove_mat_files(args.root, cfg, people=[28, 29])
+
+    if args.load:
+        ingest_emg(
+            cfg,
+            args.root,
+            args.data_dir,
+            people_positions=args.people,
+            complete=args.complete,
+            backend=args.backend,
+        )
+        if not args.no_glove and not args.load_glove:
+            ingest_glove(cfg, args.root, args.data_dir)
+    if args.load_glove:
+        glove_people = None
+        if args.synthetic_fixture:
+            glove_people = [28, 29]
+        ingest_glove(cfg, args.root, args.data_dir, people=glove_people)
+
+    if args.info or args.viz:
+        from contrastiveprosthetics_tpu.data.store import DeviceStore
+
+        store = DeviceStore.load(cfg, args.data_dir)
+        if args.info:
+            print("Tasks (shuffled order):", cfg.tasks())
+            for split in ("train", "val", "test"):
+                v = store.view(split)
+                print(
+                    f"{split.upper()}: tasks={v.n_tasks} people={v.n_people} "
+                    f"reps={v.n_reps} D={v.D} total={v.n_tasks * v.D}"
+                )
+        if args.viz:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+
+            dat = np.asarray(store.emg[args.task, args.person, args.rep])
+            for sensor in range(cfg.emg_dim):
+                plt.plot(dat[:, sensor])
+            out = "viz_person%d_task%d_rep%d.png" % (
+                args.person, args.task, args.rep,
+            )
+            plt.savefig(out, dpi=110)
+            print(f"saved {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,169 @@
+"""Training CLI — flag-for-flag parity with the reference's ``train.py``
+(``train.py:251-268``; ``--no_*`` flags are ``store_false``: passing them
+*disables* the feature). New flags are additive: ``--data_dir``,
+``--checkpoint_dir``, ``--synthetic`` (run on fabricated data),
+``--crossval_chunk`` (vmap group size), ``--seed``, ``--profile``.
+
+Flow mirrors ``train.py:168-249``: load store → crossval (or ``--crossval_load``)
+→ pick nanargmax-val-acc config → final annealed train with checkpointing →
+reload best checkpoint → optional test.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Training on ninapro dataset")
+    # --- reference flags (train.py:251-268) ---
+    p.add_argument("--crossval_size", type=int, default=10)
+    p.add_argument("--crossval_epochs", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--final_epochs", type=int, default=10)
+    p.add_argument("--glove", action="store_true")
+    p.add_argument("--db2", action="store_true")
+    p.add_argument("--load_model", action="store_true")
+    p.add_argument("--crossval_load", action="store_true")
+    p.add_argument("--prediction", action="store_true")
+    p.add_argument("--no_adabn", action="store_false")
+    p.add_argument("--no_checkpoint", action="store_false")
+    p.add_argument("--no_verbose", action="store_false")
+    p.add_argument("--test", action="store_true")
+    # --- additive flags ---
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--results_dir", type=str, default=None,
+                   help="export full artifact set after --test")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on fabricated class-separable data")
+    p.add_argument("--glove_encoding", action="store_true",
+                   help="encode real glove angles as class embeddings")
+    p.add_argument("--crossval_chunk", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--profile", action="store_true")
+    return p
+
+
+def build_store(args, cfg):
+    from contrastiveprosthetics_tpu.data.store import DeviceStore
+    from contrastiveprosthetics_tpu.data.synthetic import make_processed_dataset
+
+    if args.synthetic:
+        emg, pos, glove = make_processed_dataset(cfg)
+        return DeviceStore(cfg, emg, pos, glove)
+    return DeviceStore.load(cfg, args.data_dir)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from contrastiveprosthetics_tpu.train.crossval import (
+        best_config,
+        cross_validate,
+        hyper_from_key,
+        keys_array,
+        load_crossval,
+        sample_hyperparams,
+    )
+    from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+    from contrastiveprosthetics_tpu.train.loop import run_test, train_loop
+
+    if args.profile:
+        jax.profiler.start_trace("/tmp/cptpu_trace")
+
+    print("Loading dataset")
+    store = build_store(args, cfg)
+    trainer = Trainer(
+        cfg,
+        store,
+        db2=args.db2,
+        adabn=args.no_adabn,
+        prediction=args.prediction,
+        glove=args.glove,
+        glove_encoding=args.glove_encoding,
+        batch_size=args.batch_size,
+    )
+    print("Dataset loaded")
+    key = jax.random.PRNGKey(args.seed)
+
+    # ---- cross-validation (train.py:140-198) ----
+    if args.crossval_load:
+        values, keys = load_crossval(args.data_dir)
+    else:
+        hypers = sample_hyperparams(args.crossval_size, seed=args.seed)
+        t0 = time.time()
+        values = cross_validate(
+            trainer,
+            hypers,
+            epochs=args.crossval_epochs,
+            key=jax.random.fold_in(key, 1),
+            chunk=args.crossval_chunk,
+            save_dir=args.data_dir,
+        )
+        print(f"crossval: {args.crossval_size} configs in {time.time() - t0:.1f}s")
+        keys = keys_array(hypers, trainer.d_e)
+
+    best_key = best_config(values, keys)
+    print(f"Best combination: {best_key}")
+    d_e, hyper = hyper_from_key(best_key)
+    if args.load_model:
+        hyper = hyper._replace(
+            lr_emg=hyper.lr_emg / 10, lr_glove=hyper.lr_glove / 10
+        )
+
+    # ---- final training (train.py:202-216) ----
+    ckpt_path = os.path.join(args.checkpoint_dir, "contrastive.msgpack")
+    init_state = None
+    if args.load_model and os.path.exists(ckpt_path):
+        print("Loading model")
+        init_state = load_checkpoint(
+            ckpt_path, trainer.init_state(jax.random.fold_in(key, 2))
+        )
+    res = train_loop(
+        trainer,
+        hyper,
+        epochs=args.final_epochs,
+        key=jax.random.fold_in(key, 3),
+        annealing=True,
+        checkpoint=args.no_checkpoint,
+        checkpoint_path=ckpt_path,
+        init_state=init_state,
+        verbose=args.no_verbose,
+    )
+    print("Final validation model statistics")
+    print(f"val loss {res.val_loss:.4f}  val acc {res.val_acc:.6f}")
+
+    state = res.state
+    if args.no_checkpoint and os.path.exists(ckpt_path):
+        state = load_checkpoint(
+            ckpt_path, trainer.init_state(jax.random.fold_in(key, 4))
+        )
+
+    if args.test:
+        t = run_test(trainer, state, hyper, jax.random.fold_in(key, 5))
+        print("loss,\t\t\tcorrect")
+        print((float(t.loss), float(t.accuracy)))
+        if args.results_dir:
+            from contrastiveprosthetics_tpu.results.export import export_results
+
+            export_results(t, args.results_dir, n_classes=cfg.max_tasks)
+            print(f"artifacts exported to {args.results_dir}")
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        print("profile trace written to /tmp/cptpu_trace")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

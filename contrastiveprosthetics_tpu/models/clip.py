@@ -54,6 +54,22 @@ class ContrastiveModel(nn.Module):
             glove_encoding=self.glove_encoding,
         )
 
+    def encode_emg(self, frames, train: bool = False):
+        """(rows, emg_dim) → (rows, d_e) normalized embeddings — the serving
+        path (one encoder call per streamed frame batch)."""
+        return _l2_normalize(self.emg_net(frames, 0.0, train))
+
+    def encode_classes(self, glove_rows=None, train: bool = False):
+        """(n_classes, d_e) normalized class embeddings. One-hot path by
+        default; pass glove prototypes (n_classes, glove_dim) in
+        glove_encoding mode for zero-shot class specification."""
+        labels = jnp.arange(self.n_classes)
+        if glove_rows is None:
+            glove_rows = jnp.zeros((self.n_classes, self.glove_dim))
+        return _l2_normalize(
+            self.glove_net(glove_rows, labels, 0.0, train)
+        )
+
     def __call__(self, emg, glove, dp_emg, dp_glove, train: bool):
         """``emg``: (B, T, emg_dim) train or (B, T, W, emg_dim) eval-vote.
         ``glove``: (B, T, glove_dim). Labels are implicitly ``arange(T)``

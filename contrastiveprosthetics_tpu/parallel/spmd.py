@@ -1,0 +1,81 @@
+"""SPMD training over a device mesh.
+
+Two production paths:
+
+  * ``make_sharded_train_step`` — a full dp×mp-sharded optimization step:
+    batch split over ``dp`` (gradients psum'd by XLA), the 512-wide MLP
+    kernels megatron-sharded over ``mp``. One jitted program; GSPMD places
+    the collectives on ICI.
+  * ``make_sharded_crossval_epoch`` — the crossval sweep's config axis
+    sharded over ``dp``: each chip trains its own slice of configs with no
+    communication (the ideal scaling for this workload; SURVEY §5).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from contrastiveprosthetics_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated,
+    state_shardings,
+)
+from contrastiveprosthetics_tpu.train.engine import Trainer
+
+
+def make_sharded_train_step(trainer: Trainer, mesh):
+    """Returns (step_fn, place_state): ``step_fn(state, emg_b, glove_b,
+    hyper, lr_e, lr_g, key)`` jitted with dp-sharded batch and mp-sharded
+    params."""
+    st_template = jax.eval_shape(
+        trainer.init_state, jax.random.PRNGKey(0)
+    )
+    st_sh = state_shardings(mesh, st_template)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    step = jax.jit(
+        trainer._sgd_step,
+        in_shardings=(st_sh, bsh, bsh, rep, rep, rep, rep),
+        out_shardings=(st_sh, rep, rep),
+    )
+
+    def place_state(state):
+        return jax.device_put(state, st_sh)
+
+    return step, place_state
+
+
+def make_sharded_crossval_epoch(trainer: Trainer, mesh):
+    """Returns (epoch_fn, place): ``epoch_fn(states, keys, hypers, f_e,
+    f_g)`` with the leading config axis of every argument sharded over
+    ``dp``. Each device trains its config slice independently."""
+    cfg_sh_leaf = NamedSharding(mesh, P("dp"))
+
+    def cfg_sharding_for(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(
+                mesh, P(*(("dp",) + (None,) * (leaf.ndim - 1)))
+            ),
+            tree,
+        )
+
+    vmapped = jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None))
+
+    def epoch_fn(states, keys, hypers, f_e, f_g):
+        st_sh = cfg_sharding_for(states)
+        k_sh = cfg_sharding_for(keys)
+        h_sh = cfg_sharding_for(hypers)
+        rep = replicated(mesh)
+        fn = jax.jit(
+            vmapped,
+            in_shardings=(st_sh, k_sh, h_sh, rep, rep),
+            out_shardings=(st_sh, cfg_sh_leaf, cfg_sh_leaf),
+        )
+        return fn(states, keys, hypers, f_e, f_g)
+
+    def place(tree):
+        return jax.device_put(tree, cfg_sharding_for(tree))
+
+    return epoch_fn, place

@@ -1,0 +1,183 @@
+"""Streaming sliding-window inference at prosthesis-control latency.
+
+New capability (BASELINE.json config 5): the reference only evaluates
+offline; this engine runs the full online pipeline as ONE jitted step per
+10 ms control tick:
+
+  raw 2 kHz block (20 samples × 12 ch) → stateful SOS bandpass (IIR state
+  carried across ticks) → trailing window-11 RMS → (x−mean)/std normalize →
+  EMG encoder → cosine scores against the (pre-encoded, subset-masked) class
+  embeddings → majority vote over the last ``prediction_window_size`` frames.
+
+Design notes vs the offline path:
+  * The offline RMS window is *centered* (``uniform_filter1d``); a real-time
+    system cannot see the future, so serving uses the trailing 11 filtered
+    samples (5-sample ≙ 2.5 ms group delay difference, documented).
+  * AdaBN needs batch statistics; a single streamed frame has none. Serve
+    therefore runs the encoder with plain-BN running averages (train with
+    ``--no_adabn``) or with a frozen calibration ``batch_stats``.
+  * The subset restriction (the user's chosen grasp set, README.md:15) is a
+    score mask — switching subsets is a host-side array update, no
+    recompilation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrastiveprosthetics_tpu.config import Config
+from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+from contrastiveprosthetics_tpu.ops.signal import butter_bandpass_sos
+
+
+class StreamCarry(NamedTuple):
+    iir_state: jax.Array    # (n_sections, 2, emg_dim)
+    tail: jax.Array         # (rms_window-1, emg_dim) last filtered samples
+    votes: jax.Array        # (prediction_window_size,) recent per-frame preds
+    n_seen: jax.Array       # frames seen so far (for vote warm-up)
+
+
+class StreamingEngine:
+    """Jitted per-tick inference with carried DSP state."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        model: ContrastiveModel,
+        variables: dict,
+        emg_mean: np.ndarray,
+        emg_std: np.ndarray,
+        glove_prototypes: Optional[np.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self._sos = jnp.asarray(
+            butter_bandpass_sos(20, 450, cfg.hz), jnp.float32
+        )
+        self._mean = jnp.asarray(emg_mean, jnp.float32)
+        self._std = jnp.asarray(emg_std, jnp.float32)
+        self._prescale = 2.0**10  # python scalar: inlined, never streamed
+
+        glove_rows = (
+            jnp.asarray(glove_prototypes, jnp.float32)
+            if glove_prototypes is not None
+            else None
+        )
+        self._class_emb = model.apply(
+            variables,
+            glove_rows,
+            False,
+            method=ContrastiveModel.encode_classes,
+            mutable=False,
+        )  # (n_classes, d_e)
+
+        # NOTE: weights are *arguments* of the jitted tick, not closure
+        # constants — closed-over arrays are baked into the executable as
+        # constants, which remote-attached TPUs re-stream on every dispatch
+        # (~25 ms/call measured); argument arrays stay device-resident.
+        self._dev_vars = jax.device_put(variables)
+        self._dev_class_emb = jax.device_put(self._class_emb)
+        self._step = jax.jit(self._tick, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ state
+    def init_carry(self) -> StreamCarry:
+        cfg = self.cfg
+        return StreamCarry(
+            iir_state=jnp.zeros((self._sos.shape[0], 2, cfg.emg_dim), jnp.float32),
+            tail=jnp.zeros((cfg.rms_window - 1, cfg.emg_dim), jnp.float32),
+            votes=jnp.zeros((cfg.prediction_window_size,), jnp.int32),
+            n_seen=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------- tick
+    def _tick(self, carry: StreamCarry, raw_block: jax.Array,
+              subset_mask: jax.Array, variables, class_emb, sos, mean, std):
+        """``raw_block``: (factor=20, emg_dim) raw samples (10 ms).
+        Returns (carry, per-frame pred, majority-vote pred, scores)."""
+        cfg = self.cfg
+        x = raw_block * self._prescale
+
+        def iir_step(z, xn):
+            y = xn
+            new_z = []
+            for k in range(sos.shape[0]):
+                b0, b1, b2, _, a1, a2 = (sos[k, i] for i in range(6))
+                yk = b0 * y + z[k, 0]
+                z0 = b1 * y - a1 * yk + z[k, 1]
+                z1 = b2 * y - a2 * yk
+                new_z.append(jnp.stack([z0, z1]))
+                y = yk
+            return jnp.stack(new_z), y
+
+        new_iir, filtered = jax.lax.scan(iir_step, carry.iir_state, x)
+
+        # trailing window-11 RMS at block end
+        window = jnp.concatenate([carry.tail, filtered], axis=0)[
+            -cfg.rms_window :
+        ]
+        frame = jnp.sqrt(jnp.mean(jnp.square(window), axis=0))
+        frame = (frame - mean) / std
+
+        emb = self.model.apply(
+            variables,
+            frame[None, :],
+            False,
+            method=ContrastiveModel.encode_emg,
+            mutable=False,
+        )[0]  # (d_e,)
+
+        scores = class_emb @ emb  # (n_classes,)
+        neg = jnp.finfo(scores.dtype).min
+        masked = jnp.where(subset_mask, scores, neg)
+        pred = jnp.argmax(masked).astype(jnp.int32)
+
+        votes = jnp.roll(carry.votes, -1).at[-1].set(pred)
+        n_seen = jnp.minimum(
+            carry.n_seen + 1, jnp.int32(cfg.prediction_window_size)
+        )
+        # majority vote over the valid suffix (ties → smallest class id)
+        W = cfg.prediction_window_size
+        valid = jnp.arange(W) >= (W - n_seen)
+        counts = jnp.sum(
+            jax.nn.one_hot(votes, class_emb.shape[0]) * valid[:, None],
+            axis=0,
+        )
+        counts = jnp.where(subset_mask, counts, -1.0)
+        vote = jnp.argmax(counts).astype(jnp.int32)
+
+        new_carry = StreamCarry(new_iir, window[1:], votes, n_seen)
+        return new_carry, pred, vote, masked
+
+    def step(self, carry: StreamCarry, raw_block, subset_mask=None):
+        if subset_mask is None:
+            subset_mask = jnp.ones(
+                (self._class_emb.shape[0],), dtype=bool
+            )
+        return self._step(
+            carry,
+            jnp.asarray(raw_block, jnp.float32),
+            jnp.asarray(subset_mask),
+            self._dev_vars,
+            self._dev_class_emb,
+            self._sos,
+            self._mean,
+            self._std,
+        )
+
+    def run(self, raw: np.ndarray, subset_mask=None):
+        """Convenience: stream a whole recording (T, emg_dim); returns
+        per-block (preds, votes)."""
+        cfg = self.cfg
+        n_blocks = raw.shape[0] // cfg.factor
+        carry = self.init_carry()
+        preds, votes = [], []
+        for i in range(n_blocks):
+            block = raw[i * cfg.factor : (i + 1) * cfg.factor]
+            carry, p, v, _ = self.step(carry, block, subset_mask)
+            preds.append(int(p))
+            votes.append(int(v))
+        return np.asarray(preds), np.asarray(votes)

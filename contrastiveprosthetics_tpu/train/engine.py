@@ -153,6 +153,42 @@ class Trainer:
         new_bs = updates["batch_stats"] if not self.adabn else batch_stats
         return loss, (acc, new_bs, out)
 
+    def _sgd_step(self, state: TrainState, emg_b, glove_b, hyper: Hyper,
+                  lr_emg, lr_glove, dropout_key):
+        """One optimization step: forward → loss(+L2) → grads → two Adam
+        updates. This is the unit the multi-chip SPMD path shards
+        (parallel/spmd.py)."""
+        def loss_fn(p):
+            loss, aux = self._loss_and_metrics(
+                p, state.batch_stats, emg_b, glove_b, hyper, dropout_key, True
+            )
+            # prediction mode penalizes only the active net (models.py:225-228)
+            total = (
+                loss
+                + hyper.reg_emg * l2_penalty(p.get("emg_net", {}))
+                + hyper.reg_glove * l2_penalty(p.get("glove_net", {}))
+            )
+            return total, (loss, aux)
+
+        (_, (loss, (acc, new_bs, _))), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        up_e, opt_emg = self._opt.update(
+            grads["emg_net"], state.opt_emg, state.params["emg_net"]
+        )
+        up_g, opt_glove = self._opt.update(
+            grads["glove_net"], state.opt_glove, state.params["glove_net"]
+        )
+        new_params = {
+            "emg_net": jax.tree_util.tree_map(
+                lambda p, u: p - lr_emg * u, state.params["emg_net"], up_e
+            ),
+            "glove_net": jax.tree_util.tree_map(
+                lambda p, u: p - lr_glove * u, state.params["glove_net"], up_g
+            ),
+        }
+        return TrainState(new_params, new_bs, opt_emg, opt_glove), loss, acc
+
     def _train_epoch(self, state: TrainState, key: jax.Array, hyper: Hyper,
                      lr_emg_factor, lr_glove_factor):
         """One full epoch: permutations + batch scan, all on device."""
@@ -161,24 +197,8 @@ class Trainer:
         emg_rand = task_permutations(k_perm, v.n_tasks, v.D)
         glove_rand = task_permutations(k_glove, v.n_tasks, v.D_glove)
         batches = epoch_batches(k_order, v.D, self.batch_size)
-
-        def grad_fn(params, batch_stats, emg_b, glove_b, dkey):
-            def loss_fn(p):
-                loss, aux = self._loss_and_metrics(
-                    p, batch_stats, emg_b, glove_b, hyper, dkey, True
-                )
-                # prediction mode penalizes only the active net
-                # (models.py:225-228)
-                total = (
-                    loss
-                    + hyper.reg_emg * l2_penalty(p.get("emg_net", {}))
-                    + hyper.reg_glove * l2_penalty(p.get("glove_net", {}))
-                )
-                return total, (loss, aux)
-            (_, (loss, (acc, new_bs, _))), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
-            return grads, loss, acc, new_bs
+        lr_e = hyper.lr_emg * lr_emg_factor
+        lr_g = hyper.lr_glove * lr_glove_factor
 
         def body(carry, items):
             state, step = carry
@@ -186,26 +206,9 @@ class Trainer:
             emg_b = gather_train_batch(v.emg_flat, emg_rand, items)
             emg_b = emg_b.reshape(items.shape[0], v.n_tasks, self.cfg.emg_dim)
             glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
-            grads, loss, acc, new_bs = grad_fn(
-                state.params, state.batch_stats, emg_b, glove_b, dkey
+            new_state, loss, acc = self._sgd_step(
+                state, emg_b, glove_b, hyper, lr_e, lr_g, dkey
             )
-            up_e, opt_emg = self._opt.update(
-                grads["emg_net"], state.opt_emg, state.params["emg_net"]
-            )
-            up_g, opt_glove = self._opt.update(
-                grads["glove_net"], state.opt_glove, state.params["glove_net"]
-            )
-            lr_e = hyper.lr_emg * lr_emg_factor
-            lr_g = hyper.lr_glove * lr_glove_factor
-            new_params = {
-                "emg_net": jax.tree_util.tree_map(
-                    lambda p, u: p - lr_e * u, state.params["emg_net"], up_e
-                ),
-                "glove_net": jax.tree_util.tree_map(
-                    lambda p, u: p - lr_g * u, state.params["glove_net"], up_g
-                ),
-            }
-            new_state = TrainState(new_params, new_bs, opt_emg, opt_glove)
             return (new_state, step + 1), (loss, acc)
 
         (state, _), (losses, accs) = jax.lax.scan(body, (state, 0), batches)

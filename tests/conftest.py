@@ -20,6 +20,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 # pathologically slow (>100s for a trivial op). JAX paths are float32; the
 # float64 oracles are numpy/scipy, with tolerances set accordingly.
 
+import jax  # noqa: E402
+
+# The environment's 'axon' TPU plugin force-prepends itself to jax_platforms,
+# overriding the JAX_PLATFORMS env var — force CPU via the config API.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

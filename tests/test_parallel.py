@@ -1,0 +1,106 @@
+"""Multi-device SPMD: dp×mp-sharded step equals the single-device step;
+config-sharded crossval epoch runs on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG
+from contrastiveprosthetics_tpu.data.store import DeviceStore
+from contrastiveprosthetics_tpu.data.synthetic import make_processed_dataset
+from contrastiveprosthetics_tpu.parallel.mesh import make_mesh, state_shardings
+from contrastiveprosthetics_tpu.parallel.spmd import (
+    make_sharded_crossval_epoch,
+    make_sharded_train_step,
+)
+from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+
+CFG = DEFAULT_CONFIG
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    emg, pos, glove = make_processed_dataset(CFG, people_positions=[40])
+    store = DeviceStore(CFG, emg, pos, glove)
+    return Trainer(CFG, store, adabn=True, batch_size=8)
+
+
+@pytest.fixture(scope="module")
+def hyper():
+    return Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    assert mesh.shape == {"dp": 4, "mp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_dp=16, n_mp=2)
+
+
+def test_tp_shards_wide_kernels(trainer):
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state)
+    # at least one 512×512 kernel sharded over mp
+    specs = [
+        s.spec
+        for s in jax.tree_util.tree_leaves(
+            sh.params, is_leaf=lambda x: hasattr(x, "spec")
+        )
+    ]
+    assert any("mp" in str(spec) for spec in specs)
+
+
+def test_sharded_step_matches_single_device(trainer, hyper):
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    step, place_state = make_sharded_train_step(trainer, mesh)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(0)
+    B, T = 8, CFG.max_tasks
+    emg_b = jnp.asarray(rng.standard_normal((B, T, 12)), jnp.float32)
+    glove_b = jnp.asarray(rng.standard_normal((B, T, 20)), jnp.float32)
+    key = jax.random.PRNGKey(2)
+    lr = jnp.float32(1e-3)
+
+    # single-device reference
+    s_ref, loss_ref, acc_ref = jax.jit(trainer._sgd_step)(
+        state, emg_b, glove_b, hyper, lr, lr, key
+    )
+    # sharded
+    s_sh, loss_sh, acc_sh = step(
+        place_state(state), emg_b, glove_b, hyper, lr, lr, key
+    )
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-4)
+    # Adam's first-step update is ≈ sign(m)·lr, so coordinates with ~zero
+    # gradient can flip sign under the sharded reduction order; require the
+    # overwhelming majority of coordinates to match tightly and bound the
+    # rest by the lr-scale flip.
+    lr_f = 1e-3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_sh.params),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, rtol=5e-3, atol=1e-5)
+        assert close.mean() > 0.98, f"only {close.mean():.3f} close"
+        np.testing.assert_allclose(a, b, atol=2.5 * lr_f)
+
+
+def test_config_sharded_crossval_epoch(trainer, hyper):
+    mesh = make_mesh(n_dp=8, n_mp=1)
+    tr = Trainer(CFG, trainer.store, adabn=True, batch_size=100)
+    n_cfg = 8
+    hypers = Hyper(*[jnp.full((n_cfg,), float(x), jnp.float32) for x in hyper])
+    keys = jax.random.split(jax.random.PRNGKey(3), n_cfg)
+    states = jax.vmap(tr.init_state)(keys)
+    epoch_fn, place = make_sharded_crossval_epoch(tr, mesh)
+    states, losses, accs = epoch_fn(
+        place(states), keys, hypers, jnp.float32(1.0), jnp.float32(1.0)
+    )
+    assert losses.shape == (n_cfg,)
+    assert np.isfinite(np.asarray(losses)).all()

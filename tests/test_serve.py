@@ -1,0 +1,66 @@
+"""Streaming engine: stateful DSP equivalence with the offline pipeline and
+subset masking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG
+from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+from contrastiveprosthetics_tpu.ops.signal import butter_bandpass_sos, sosfilt
+from contrastiveprosthetics_tpu.serve.stream import StreamingEngine
+
+CFG = DEFAULT_CONFIG
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    emg = jnp.zeros((2, CFG.max_tasks, 12))
+    glove = jnp.zeros((2, CFG.max_tasks, 20))
+    variables = model.init(
+        {"params": key, "dropout": key}, emg, glove, 0.5, 0.5, True
+    )
+    return StreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+    )
+
+
+def test_stateful_iir_matches_batch_filter(engine, rng):
+    """Block-wise stateful filtering must equal one-shot sosfilt."""
+    raw = rng.standard_normal((400, 12)).astype(np.float32)
+    sos = butter_bandpass_sos(20, 450, CFG.hz)
+    want = np.asarray(
+        sosfilt(jnp.asarray(sos), jnp.asarray(raw * 2.0**10))
+    )
+    carry = engine.init_carry()
+    got_tails = []
+    for i in range(400 // 20):
+        carry, _, _, _ = engine.step(carry, raw[i * 20 : (i + 1) * 20])
+        got_tails.append(np.asarray(carry.tail[-1]))
+    # carry.tail[-1] is the last filtered sample of each block
+    want_tails = want[19::20]
+    np.testing.assert_allclose(
+        np.stack(got_tails), want_tails, rtol=1e-3, atol=1e-2
+    )
+
+
+def test_subset_mask_restricts_predictions(engine, rng):
+    raw = rng.standard_normal((500, 12)).astype(np.float32) * 1e-4
+    mask = np.zeros(41, bool)
+    allowed = [0, 7, 23]
+    mask[allowed] = True
+    preds, votes = engine.run(raw, subset_mask=mask)
+    assert set(preds.tolist()) <= set(allowed)
+    assert set(votes.tolist()) <= set(allowed)
+
+
+def test_vote_stabilizes(engine, rng):
+    raw = np.tile(rng.standard_normal((1, 12)).astype(np.float32), (1000, 1))
+    preds, votes = engine.run(raw)
+    # constant input → constant per-frame prediction → vote equals it
+    assert (preds[30:] == preds[30]).all()
+    assert (votes[60:] == preds[30]).all()
