@@ -42,6 +42,48 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    # --- p50 streaming-inference latency per 10 ms tick ---
+    # Measured FIRST: on remote-attached TPUs, running large programs first
+    # degrades subsequent small-dispatch latency ~40× (allocator/dispatch
+    # state), which would misattribute ~29 ms to a 0.7 ms path. Latency is
+    # weight-value independent, so fresh-init params are representative.
+    try:
+        from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+        from contrastiveprosthetics_tpu.serve.stream import StreamingEngine
+
+        model = ContrastiveModel(d_e=16, adabn=False, n_classes=cfg.max_tasks)
+        key0 = jax.random.PRNGKey(0)
+        import jax.numpy as jnp
+
+        variables = model.init(
+            {"params": key0, "dropout": key0},
+            jnp.zeros((2, cfg.max_tasks, cfg.emg_dim)),
+            jnp.zeros((2, cfg.max_tasks, cfg.glove_dim)),
+            0.5, 0.5, True,
+        )
+        engine = StreamingEngine(
+            cfg, model, variables,
+            emg_mean=np.zeros(cfg.emg_dim, np.float32),
+            emg_std=np.ones(cfg.emg_dim, np.float32),
+        )
+        carry = engine.init_carry()
+        block = np.random.default_rng(0).standard_normal(
+            (cfg.factor, cfg.emg_dim)
+        ).astype(np.float32)
+        carry, p, vvote, _ = engine.step(carry, block)  # compile
+        jax.block_until_ready(p)
+        lat = []
+        for _ in range(200):
+            t0 = time.perf_counter()
+            carry, p, vvote, _ = engine.step(carry, block)
+            jax.block_until_ready(p)
+            lat.append(time.perf_counter() - t0)
+        p50 = float(np.percentile(lat, 50) * 1e3)
+        print(f"serve: p50 per-tick latency {p50:.3f} ms "
+              f"(budget 10 ms/tick)", file=sys.stderr)
+    except Exception as e:
+        print(f"serve bench skipped: {e}", file=sys.stderr)
+
     emg, pos, glove = make_processed_dataset(cfg)  # full 46-person geometry
     store = DeviceStore(cfg, emg, pos, glove, device=dev)
     trainer = Trainer(cfg, store, adabn=False, batch_size=8)
@@ -85,36 +127,6 @@ def main():
     jax.block_until_ready(res.loss)
     eval_wps = reps * eval_windows / (time.perf_counter() - t0)
     print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline)", file=sys.stderr)
-
-    # --- p50 streaming-inference latency per 10 ms tick ---
-    try:
-        from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
-        from contrastiveprosthetics_tpu.serve.stream import StreamingEngine
-
-        model = ContrastiveModel(d_e=16, adabn=False, n_classes=cfg.max_tasks)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        engine = StreamingEngine(
-            cfg, model, variables,
-            emg_mean=np.zeros(cfg.emg_dim, np.float32),
-            emg_std=np.ones(cfg.emg_dim, np.float32),
-        )
-        carry = engine.init_carry()
-        block = np.random.default_rng(0).standard_normal(
-            (cfg.factor, cfg.emg_dim)
-        ).astype(np.float32)
-        carry, p, vvote, _ = engine.step(carry, block)  # compile
-        jax.block_until_ready(p)
-        lat = []
-        for _ in range(200):
-            t0 = time.perf_counter()
-            carry, p, vvote, _ = engine.step(carry, block)
-            jax.block_until_ready(p)
-            lat.append(time.perf_counter() - t0)
-        p50 = float(np.percentile(lat, 50) * 1e3)
-        print(f"serve: p50 per-tick latency {p50:.3f} ms "
-              f"(budget 10 ms/tick)", file=sys.stderr)
-    except Exception as e:
-        print(f"serve bench skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crossval_chunk", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--pallas_loss", action="store_true",
+                   help="fused Pallas similarity+CE kernel")
+    p.add_argument("--pallas_gather", action="store_true",
+                   help="fused Pallas batch gather")
     return p
 
 
@@ -92,6 +96,8 @@ def main(argv=None):
         glove=args.glove,
         glove_encoding=args.glove_encoding,
         batch_size=args.batch_size,
+        use_pallas_loss=True if args.pallas_loss else None,  # None → auto
+        use_pallas_gather=args.pallas_gather,
     )
     print("Dataset loaded")
     key = jax.random.PRNGKey(args.seed)

@@ -70,6 +70,19 @@ class ContrastiveModel(nn.Module):
             self.glove_net(glove_rows, labels, 0.0, train)
         )
 
+    def embed(self, emg, glove, dp_emg, dp_glove, train: bool):
+        """Train-mode embeddings for the fused Pallas loss: returns
+        normalized (e, g), both (B, T, d_e) — the similarity+CE then runs
+        in one kernel without materializing logits (ops/pallas_ops.py)."""
+        B, T = emg.shape[:2]
+        frames = emg.reshape(-1, self.emg_dim)
+        labels = jnp.tile(jnp.arange(T), B)
+        e = self.emg_net(frames, dp_emg, train).reshape(B, T, self.d_e)
+        g = self.glove_net(
+            glove.reshape(-1, self.glove_dim), labels, dp_glove, train
+        ).reshape(B, T, self.d_e)
+        return _l2_normalize(e), _l2_normalize(g)
+
     def __call__(self, emg, glove, dp_emg, dp_glove, train: bool):
         """``emg``: (B, T, emg_dim) train or (B, T, W, emg_dim) eval-vote.
         ``glove``: (B, T, glove_dim). Labels are implicitly ``arange(T)``

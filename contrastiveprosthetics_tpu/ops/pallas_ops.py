@@ -1,0 +1,271 @@
+"""Pallas TPU kernels for the two hot ops (BASELINE.json targets).
+
+1. ``fused_contrastive_loss`` — similarity matrix + symmetric cross-entropy
+   in ONE kernel: per item, the (T, d)×(d, T) cosine-similarity matmul runs
+   on the MXU and the row/col log-softmax + diagonal reduction runs on the
+   VPU while the logits are still in VMEM — the (N, T, T) logits tensor
+   never round-trips to HBM. TPU grid steps are sequential per core, so the
+   scalar loss/correct accumulate into one SMEM cell across the batch.
+   Custom VJP: the backward kernel rematerializes the logits (two tiny
+   matmuls) and emits de/dg directly.
+   Replaces the reference's per-item Python CE loop (models.py:146-147) and
+   its materialized ``bmm`` logits (models.py:129).
+
+2. ``gather_normalize`` — the batch constructor: dynamic row-gather from the
+   device-resident window store fused with ``(x − mean)/std`` normalization.
+   Indices are scalar-prefetched; each grid step DMAs its 8 scattered rows
+   HBM→VMEM and normalizes on the way out (the reference's
+   ``EMG_use[emg_rand[:, idx]]`` gather + ingest normalization,
+   utils.py:129-130, in one pass).
+
+Every op has a pure-XLA fallback with identical semantics; the
+``*_reference`` functions are the oracle used by tests (Pallas interpret
+mode on CPU must match them).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# =====================================================================
+# 1. fused similarity + symmetric cross-entropy
+# =====================================================================
+
+def _eye(T: int, dtype=jnp.float32):
+    r = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    return (r == c).astype(dtype)
+
+
+_LOSS_ITEMS_PER_BLOCK = 8  # amortize grid/dispatch across items
+
+
+def _loss_item(e, g):
+    """Scalar (loss_sum_contrib, correct_count) for one (T,d)×(T,d) item."""
+    T = e.shape[0]
+    logits = jnp.dot(e, g.T, preferred_element_type=jnp.float32)  # (T, T)
+    eye = _eye(T)
+    # every intermediate stays 2D — Mosaic's vector layouts dislike (T,)
+    diag_r = jnp.sum(logits * eye, axis=1, keepdims=True)          # (T, 1)
+    diag_c = jnp.sum(logits * eye, axis=0, keepdims=True)          # (1, T)
+
+    m_r = jnp.max(logits, axis=1, keepdims=True)
+    lse_r = m_r + jnp.log(jnp.sum(jnp.exp(logits - m_r), axis=1, keepdims=True))
+    m_c = jnp.max(logits, axis=0, keepdims=True)
+    lse_c = m_c + jnp.log(jnp.sum(jnp.exp(logits - m_c), axis=0, keepdims=True))
+
+    loss = (jnp.sum(lse_r - diag_r) + jnp.sum(lse_c - diag_c)) / (2.0 * T)
+
+    # EMG→class accuracy with exact argmax-first-max tie semantics
+    # (models.py:148-149): the diagonal must attain the row max and no
+    # earlier column may attain it.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    is_max = logits >= m_r                                          # (T, T)
+    earlier = jnp.sum(
+        (is_max & (col_ids < row_ids)).astype(jnp.float32),
+        axis=1, keepdims=True,
+    )                                                               # (T, 1)
+    diag_is_max = diag_r >= m_r
+    correct = jnp.sum(
+        (diag_is_max & (earlier == 0.0)).astype(jnp.float32)
+    )
+    return loss, correct
+
+
+def _loss_kernel(e_ref, g_ref, loss_ref, correct_ref, *, n_real):
+    """One grid step = _LOSS_ITEMS_PER_BLOCK items; scalar outputs
+    accumulate in SMEM across the (sequential) TPU grid. Zero-padded items
+    beyond ``n_real`` are masked out."""
+    i = pl.program_id(0)
+
+    loss = jnp.float32(0.0)
+    correct = jnp.float32(0.0)
+    for k in range(_LOSS_ITEMS_PER_BLOCK):
+        item_id = i * _LOSS_ITEMS_PER_BLOCK + k
+        l_k, c_k = _loss_item(e_ref[k], g_ref[k])
+        valid = (item_id < n_real).astype(jnp.float32)
+        loss = loss + l_k * valid
+        correct = correct + c_k * valid
+
+    @pl.when(i == 0)
+    def _():
+        loss_ref[0, 0] = 0.0
+        correct_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] += loss / n_real     # mean over real items
+    correct_ref[0, 0] += correct
+
+
+def _bwd_kernel(e_ref, g_ref, de_ref, dg_ref, *, n_real):
+    """Rematerialize logits, emit per-item gradients of the *mean* loss
+    before upstream scaling: de = dlogits @ g / N ; dg = dlogitsᵀ @ e / N."""
+    for k in range(_LOSS_ITEMS_PER_BLOCK):
+        e = e_ref[k]
+        g = g_ref[k]
+        T = e.shape[0]
+        logits = jnp.dot(e, g.T, preferred_element_type=jnp.float32)
+        eye = _eye(T)
+        p_row = jax.nn.softmax(logits, axis=1)
+        p_col = jax.nn.softmax(logits, axis=0)
+        dlogits = (p_row - eye + p_col - eye) / (2.0 * T * n_real)
+        de_ref[k] = jnp.dot(dlogits, g, preferred_element_type=jnp.float32)
+        dg_ref[k] = jnp.dot(dlogits.T, e, preferred_element_type=jnp.float32)
+
+
+def _pallas_loss_call(e, g, interpret: bool):
+    N, T, d = e.shape
+    ipb = _LOSS_ITEMS_PER_BLOCK
+    pad = (-N) % ipb
+    if pad:
+        zeros = jnp.zeros((pad, T, d), e.dtype)
+        e = jnp.concatenate([e, zeros])
+        g = jnp.concatenate([g, zeros])
+    loss, correct = pl.pallas_call(
+        functools.partial(_loss_kernel, n_real=N),
+        grid=((N + pad) // ipb,),
+        in_specs=[
+            pl.BlockSpec((ipb, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ipb, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(e, g)
+    return loss[0, 0], correct[0, 0]
+
+
+def _pallas_bwd_call(e, g, interpret: bool):
+    N, T, d = e.shape
+    ipb = _LOSS_ITEMS_PER_BLOCK
+    pad = (-N) % ipb
+    if pad:
+        zeros = jnp.zeros((pad, T, d), e.dtype)
+        e = jnp.concatenate([e, zeros])
+        g = jnp.concatenate([g, zeros])
+    Np = N + pad
+    de, dg = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_real=N),
+        grid=(Np // ipb,),
+        in_specs=[
+            pl.BlockSpec((ipb, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ipb, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ipb, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ipb, T, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, T, d), jnp.float32),
+            jax.ShapeDtypeStruct((Np, T, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(e, g)
+    return de[:N], dg[:N]
+
+
+def fused_contrastive_reference(e, g):
+    """XLA oracle with identical semantics: (mean loss, total correct)."""
+    logits = jnp.einsum("ntd,nsd->nts", e, g)
+    T = logits.shape[-1]
+    logp_r = jax.nn.log_softmax(logits, axis=-1)
+    logp_c = jax.nn.log_softmax(logits, axis=-2)
+    diag_r = jnp.diagonal(logp_r, axis1=-2, axis2=-1)
+    diag_c = jnp.diagonal(logp_c, axis1=-2, axis2=-1)
+    loss = -(diag_r.sum(-1) + diag_c.sum(-1)) / (2.0 * T)
+    correct = jnp.sum(
+        (jnp.argmax(logits, axis=-1) == jnp.arange(T)).astype(jnp.float32)
+    )
+    return loss.mean(), correct
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_contrastive_loss(e, g, interpret: bool = False):
+    """Fused symmetric contrastive loss.
+
+    ``e``, ``g``: (N, T, d) *normalized* embeddings. Returns
+    ``(mean_loss, total_correct_rows)`` — divide correct by N·T for the
+    train accuracy.
+    """
+    return _pallas_loss_call(e, g, interpret)
+
+
+def _fused_fwd(e, g, interpret):
+    out = _pallas_loss_call(e, g, interpret)
+    return out, (e, g)
+
+
+def _fused_bwd(interpret, res, cts):
+    e, g = res
+    dloss = cts[0]  # scalar upstream; correct-count output is non-diff
+    de, dg = _pallas_bwd_call(e, g, interpret)
+    return de * dloss, dg * dloss
+
+
+fused_contrastive_loss.defvjp(_fused_fwd, _fused_bwd)
+
+
+# =====================================================================
+# 2. fused gather + normalize batch constructor
+# =====================================================================
+
+def _gather_kernel(idx_ref, stats_ref, src_row_ref, out_ref):
+    """The scalar-prefetched index map already steered the row DMA: by the
+    time this body runs, ``src_row_ref`` holds row ``idx[i]`` in VMEM —
+    normalization fuses on the way out."""
+    out_ref[0] = (src_row_ref[0] - stats_ref[0][None, :]) / stats_ref[1][None, :]
+
+
+def gather_normalize_reference(src, idx, mean, std):
+    return (src[idx] - mean) / std
+
+
+def gather_normalize(src, idx, mean, std, interpret: bool = False):
+    """``src``: (M, C) window store; ``idx``: (R,) int rows; ``mean``/``std``:
+    (C,). Returns (R, C) normalized gathered rows.
+
+    Canonical PrefetchScalarGridSpec gather: the *block index map* consumes
+    the prefetched index vector, so Pallas pipelines the row DMAs across
+    grid steps. The store is viewed as (M, 1, C) so each block's trailing
+    two dims equal the array dims — Mosaic's tiling constraint for
+    sub-lane-width (C < 128) rows."""
+    R = idx.shape[0]
+    _, C = src.shape
+    src3 = src.reshape(-1, 1, C)
+    stats = jnp.stack([mean.astype(jnp.float32), std.astype(jnp.float32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # stats (2, C)
+            pl.BlockSpec(
+                (1, 1, C), lambda i, idx: (idx[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, C), lambda i, idx: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 1, C), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), stats, src3)
+    return out.reshape(R, C)

@@ -93,8 +93,20 @@ class Trainer:
     glove_encoding: bool = False
     d_e: int = 16
     batch_size: int = 8
+    # Pallas kernels (ops/pallas_ops.py), A/B'd on v5e over full training
+    # epochs at the canonical geometry (bs=8, T=41, d_e=16):
+    #   fused loss   1.94M windows/s vs 1.87M XLA  → default ON on TPU
+    #     (the custom VJP skips autodiff through the materialized logits)
+    #   fused gather 1.42M windows/s vs 1.87M XLA  → opt-in only
+    #     (per-row DMA grid loses to XLA's vectorized take inside the scan)
+    use_pallas_loss: Optional[bool] = None  # None → auto (TPU only)
+    use_pallas_gather: bool = False
 
     def __post_init__(self):
+        if self.use_pallas_loss is None:
+            from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+            self.use_pallas_loss = on_tpu()
         self.model = ContrastiveModel(
             d_e=self.d_e,
             emg_dim=self.cfg.emg_dim,
@@ -136,6 +148,24 @@ class Trainer:
     # ------------------------------------------------------------- train step
     def _loss_and_metrics(self, params, batch_stats, emg_b, glove_b, hyper,
                           dropout_key, train: bool):
+        if train and self.use_pallas_loss and not self.prediction:
+            from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                fused_contrastive_loss,
+                on_tpu,
+            )
+
+            (e, g), updates = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, True,
+                rngs={"dropout": dropout_key},
+                mutable=["batch_stats"],
+                method=ContrastiveModel.embed,
+            )
+            loss, correct = fused_contrastive_loss(e, g, not on_tpu())
+            acc = correct / (e.shape[0] * e.shape[1])
+            new_bs = updates["batch_stats"] if not self.adabn else batch_stats
+            return loss, (acc, new_bs, None)
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, train,
@@ -203,7 +233,20 @@ class Trainer:
         def body(carry, items):
             state, step = carry
             dkey = jax.random.fold_in(k_drop, step)
-            emg_b = gather_train_batch(v.emg_flat, emg_rand, items)
+            if self.use_pallas_gather:
+                from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                    gather_normalize,
+                    on_tpu,
+                )
+
+                idx = emg_rand[:, items].T.reshape(-1)  # (bs·T,)
+                zeros = jnp.zeros((self.cfg.emg_dim,), jnp.float32)
+                ones = jnp.ones((self.cfg.emg_dim,), jnp.float32)
+                emg_b = gather_normalize(
+                    v.emg_flat, idx, zeros, ones, interpret=not on_tpu()
+                )
+            else:
+                emg_b = gather_train_batch(v.emg_flat, emg_rand, items)
             emg_b = emg_b.reshape(items.shape[0], v.n_tasks, self.cfg.emg_dim)
             glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
             new_state, loss, acc = self._sgd_step(

@@ -51,7 +51,7 @@ def write_xlsx(path: str, data: np.ndarray) -> None:
     rows_xml = []
     for r, row in enumerate(arr, start=1):
         cells = "".join(
-            f'<c r="{_col_name(c)}{r}"><v>{v!r}</v></c>'
+            f'<c r="{_col_name(c)}{r}"><v>{float(v)!r}</v></c>'
             for c, v in enumerate(row)
         )
         rows_xml.append(f'<row r="{r}">{cells}</row>')
