@@ -30,7 +30,44 @@ def build_parser() -> argparse.ArgumentParser:
                    help="canonical person positions to ingest (default all)")
     p.add_argument("--backend", choices=["jax", "scipy"], default="jax")
     p.add_argument("--synthetic_fixture", action="store_true")
+    p.add_argument("--check_glove", action="store_true",
+                   help="sanity-check the glove-angle corpus: stimulus "
+                        "ranges + NaN scan per subject (reference "
+                        "get_calibration.py)")
     return p
+
+
+def check_glove_corpus(cfg, root, people=None):
+    """Reference ``get_calibration.py:1-20``: per subject, print restimulus
+    ranges and NaN presence in the angle recordings."""
+    import numpy as np
+    import scipy.io as sio
+
+    people = people if people is not None else range(
+        cfg.glove_people_start, cfg.glove_people_stop
+    )
+    issues = 0
+    for person in people:
+        p_dir = str(person + 1)
+        for ex in ("1", "2"):
+            path = f"{root}/s_{p_dir}_angles/S{p_dir}_E{ex}_A1.mat"
+            try:
+                m = sio.loadmat(path)
+            except FileNotFoundError:
+                print(f"s{p_dir} E{ex}: MISSING")
+                issues += 1
+                continue
+            ang = m["angles"]
+            stim = m["restimulus"]
+            nan_cols = np.where(np.isnan(ang).any(axis=0))[0]
+            print(
+                f"s{p_dir} E{ex}: stim [{stim.min()}, {stim.max()}] "
+                f"angles {ang.shape} nan_cols={nan_cols.tolist() or 'none'}"
+            )
+            if len(nan_cols):
+                issues += 1
+    print(f"glove corpus check: {issues} issue(s)")
+    return issues
 
 
 def main(argv=None):
@@ -48,6 +85,10 @@ def main(argv=None):
         print(f"writing synthetic .mat fixture to {args.root}")
         write_emg_mat_files(args.root, cfg, positions)
         write_glove_mat_files(args.root, cfg, people=[28, 29])
+
+    if args.check_glove:
+        glove_people = [28, 29] if args.synthetic_fixture else None
+        check_glove_corpus(cfg, args.root, people=glove_people)
 
     if args.load:
         ingest_emg(

@@ -341,6 +341,65 @@ class Trainer:
         res = self._evaluate(state, key, hyper, split, batch_size)
         return res.loss, res.accuracy
 
+    def _evaluate_per_subject(self, state: TrainState, key: jax.Array,
+                              hyper: Hyper, split: str) -> EvalResult:
+        """True per-subject AdaBN evaluation: one eval batch per subject, so
+        batch statistics are re-estimated from that subject's windows only.
+
+        This is the *intent* of the reference's AdaBN ("momentum = 0 and
+        batch per subject", models.py:245) which its TaskWrapper never
+        delivers — DataLoader shuffling mixes subjects into every batch.
+        The eval item axis is (person, rep, group) row-major
+        (load.py:233-240), so a subject's items are one contiguous slice.
+        """
+        v = {"val": self.view_val, "test": self.view_test}[split]
+        per_subject = v.D // v.n_people
+        # batches = per-subject contiguous item blocks, no shuffling needed
+        items = jnp.arange(v.D).reshape(v.n_people, per_subject)
+        cfg = self.cfg
+        W = cfg.prediction_window_size
+        n_prefix = cfg.n_voting_cols
+        T = v.n_tasks
+        k_perm, k_glove = jax.random.split(key, 2)
+        emg_rand = task_permutations(k_perm, T, v.D)
+        glove_rand = task_permutations(k_glove, T, v.D_glove)
+
+        def body(_, subj_items):
+            emg_b = gather_eval_batch(v.emg_groups, emg_rand, subj_items)
+            glove_b = gather_glove_batch(
+                v.glove_flat, glove_rand, subj_items, v.D_glove
+            )
+            logits, _ = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, False,
+                mutable=["batch_stats"],
+            )
+            loss = symmetric_contrastive_loss(logits)
+            res = vote_from_logits(logits, window=W, n_prefix=n_prefix)
+            return None, (loss, res.curve, res.y_pred, res.y_true,
+                          logits.reshape(per_subject, W, T, T))
+
+        _, (losses, curves, y_preds, y_trues, logits) = jax.lax.scan(
+            body, None, items
+        )
+        curve = curves.reshape(-1, n_prefix)
+        return EvalResult(
+            loss=losses.mean(),
+            accuracy=curve[:, -1].mean(),
+            curve=curve,
+            y_pred=y_preds.reshape(-1, T),
+            y_true=y_trues.reshape(-1, T),
+            logits=logits.reshape(-1, T, T),
+        )
+
+    def evaluate_per_subject(self, state, key, hyper, split="test") -> EvalResult:
+        sig = ("per_subject", split)
+        if sig not in self._eval_jit:
+            self._eval_jit[sig] = jax.jit(
+                partial(self._evaluate_per_subject, split=split)
+            )
+        return self._eval_jit[sig](state, key, hyper)
+
     def evaluate(self, state, key, hyper, split="val",
                  batch_size: Optional[int] = None) -> EvalResult:
         # reference: val batches = bs, test batches = bs·8 (train.py:32,51)
