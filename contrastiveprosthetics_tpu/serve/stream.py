@@ -168,6 +168,47 @@ class StreamingEngine:
             self._std,
         )
 
+    def calibrate(self, raw_recording: np.ndarray) -> None:
+        """Online AdaBN at test time — the reference's unimplemented TODO
+        (models.py:18 "No code for the online mean/std at test time yet").
+
+        Runs the offline preprocessing over a calibration recording from the
+        *current* user/session and re-estimates every BatchNorm's running
+        statistics from it (one mutable forward). Subsequent streaming
+        inference then normalizes with subject-adapted statistics — AdaBN
+        semantics without needing batches at inference time.
+        """
+        import jax.numpy as jnp
+
+        from contrastiveprosthetics_tpu.ops.signal import moving_rms, sosfilt
+
+        raw = jnp.asarray(raw_recording, jnp.float32)
+        filtered = sosfilt(self._sos, raw * self._prescale)
+        frames = moving_rms(filtered, window=self.cfg.rms_window)
+        frames = frames[:: self.cfg.factor]
+        frames = (frames - self._mean) / self._std
+
+        # Iterate mutable forwards: each pass moves the running averages
+        # toward the calibration batch (flax momentum 0.9), and because a
+        # deeper BN's input distribution depends on the shallower BNs'
+        # statistics, iterating is the correct fixed-point re-estimation.
+        # 40 passes ⇒ residual weight of the old stats ≈ 0.9⁴⁰ ≈ 1.5 %.
+        new_vars = dict(self._dev_vars)
+        rng = jax.random.PRNGKey(0)  # encode_emg uses rate 0.0; rng unused
+        fwd = jax.jit(
+            lambda v: self.model.apply(
+                v, frames, True,
+                method=ContrastiveModel.encode_emg,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )[1]["batch_stats"]
+        )
+        for _ in range(40):
+            new_vars = dict(new_vars)
+            new_vars["batch_stats"] = fwd(new_vars)
+        self.variables = new_vars
+        self._dev_vars = jax.device_put(new_vars)
+
     def run(self, raw: np.ndarray, subset_mask=None):
         """Convenience: stream a whole recording (T, emg_dim); returns
         per-block (preds, votes)."""

@@ -64,3 +64,29 @@ def test_vote_stabilizes(engine, rng):
     # constant input → constant per-frame prediction → vote equals it
     assert (preds[30:] == preds[30]).all()
     assert (votes[60:] == preds[30]).all()
+
+
+def test_calibrate_adapts_bn_stats(engine, rng):
+    """Online AdaBN: calibration on a shifted-distribution recording must
+    change the running statistics and subsequent predictions' scores."""
+    import jax
+
+    raw = (rng.standard_normal((2010, 12)) * 5e-4 + 2e-4).astype(np.float32)
+    before = jax.tree_util.tree_leaves(engine.variables.get("batch_stats", {}))
+    block = rng.standard_normal((20, 12)).astype(np.float32) * 1e-4
+    c0 = engine.init_carry()
+    _, _, _, scores_before = engine.step(c0, block)
+
+    engine.calibrate(raw)
+
+    after = jax.tree_util.tree_leaves(engine.variables["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+    assert changed
+    c1 = engine.init_carry()
+    _, _, _, scores_after = engine.step(c1, block)
+    assert not np.allclose(
+        np.asarray(scores_before), np.asarray(scores_after), atol=1e-6
+    )
