@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas similarity+CE kernel")
     p.add_argument("--pallas_gather", action="store_true",
                    help="fused Pallas batch gather")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 encoder compute (mixed precision)")
     return p
 
 
@@ -98,6 +100,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         use_pallas_loss=True if args.pallas_loss else None,  # None → auto
         use_pallas_gather=args.pallas_gather,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print("Dataset loaded")
     key = jax.random.PRNGKey(args.seed)

@@ -36,6 +36,7 @@ class ContrastiveModel(nn.Module):
     prediction: bool = False
     glove: bool = False            # prediction mode: classify from glove
     glove_encoding: bool = False   # contrastive: encode angles, not one-hot
+    dtype: jnp.dtype = jnp.float32  # encoder compute dtype (bf16 for MXU)
 
     def setup(self):
         self.emg_net = EMGNet(
@@ -44,6 +45,7 @@ class ContrastiveModel(nn.Module):
             n_classes=self.n_classes,
             adabn=self.adabn,
             prediction=self.prediction,
+            dtype=self.dtype,
         )
         self.glove_net = GLOVENet(
             d_e=self.d_e,

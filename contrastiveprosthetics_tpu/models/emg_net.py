@@ -34,32 +34,35 @@ class EMGNet(nn.Module):
     n_linear: int = 7
     hidden: int = 512
     conv_features: int = 64
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 ⇒ MXU-native)
 
     @nn.compact
     def __call__(self, frames, dropout_rate, train: bool):
         """``frames``: (rows, emg_dim) flattened instantaneous frames.
-        Returns (rows, bits) embeddings (bits = d_e or n_classes)."""
-        x = frames.reshape(-1, 1, self.emg_dim, 1)  # NHWC 1×12 image
-        x = TorchConv(self.conv_features, (3, 3), ((1, 1), (1, 1)))(x)
+        Returns (rows, bits) float32 embeddings (bits = d_e or n_classes)."""
+        dt = self.dtype
+        x = frames.astype(dt).reshape(-1, 1, self.emg_dim, 1)  # NHWC 1×12
+        x = TorchConv(self.conv_features, (3, 3), ((1, 1), (1, 1)), dtype=dt)(x)
         x = nn.relu(x)
-        x = BatchNorm(adabn=self.adabn)(x, train)
-        x = TorchConv(self.conv_features, (3, 3), ((1, 1), (1, 1)))(x)
+        x = BatchNorm(adabn=self.adabn, dtype=dt)(x, train)
+        x = TorchConv(self.conv_features, (3, 3), ((1, 1), (1, 1)), dtype=dt)(x)
         x = nn.relu(x)
-        x = BatchNorm(adabn=self.adabn)(x, train)
+        x = BatchNorm(adabn=self.adabn, dtype=dt)(x, train)
         x = x.reshape(x.shape[0], -1)  # (rows, 12·64)
 
         for i in range(self.n_linear):
-            x = TorchDense(self.hidden)(x)
+            x = TorchDense(self.hidden, dtype=dt)(x)
             x = nn.relu(x)
-            x = BatchNorm(adabn=self.adabn)(x, train)
+            x = BatchNorm(adabn=self.adabn, dtype=dt)(x, train)
             if i >= self.n_linear - 4:  # dropout on last 4 blocks
                 x = RateDropout()(x, dropout_rate, deterministic=not train)
 
         if self.prediction:
-            x = TorchDense(128)(x)
+            x = TorchDense(128, dtype=dt)(x)
             x = nn.relu(x)
-            x = BatchNorm(adabn=self.adabn)(x, train)
-            x = TorchDense(self.n_classes, use_bias=False)(x)
+            x = BatchNorm(adabn=self.adabn, dtype=dt)(x, train)
+            x = TorchDense(self.n_classes, use_bias=False, dtype=dt)(x)
         else:
-            x = TorchDense(self.d_e, use_bias=False)(x)
-        return x
+            x = TorchDense(self.d_e, use_bias=False, dtype=dt)(x)
+        # embeddings return to f32 for normalization/similarity/loss
+        return x.astype(jnp.float32)

@@ -32,6 +32,7 @@ class GLOVENet(nn.Module):
     adabn: bool = True
     prediction: bool = False
     glove_encoding: bool = False  # encode real glove angles, not one-hot
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, glove, labels, dropout_rate, train: bool):

@@ -44,10 +44,12 @@ def torch_bias_init_for(fan_in: int) -> Callable:
 
 
 class TorchDense(nn.Module):
-    """nn.Linear with torch default init."""
+    """nn.Linear with torch default init. ``dtype`` is the *compute* dtype
+    (bf16 for MXU-native matmuls); params stay float32."""
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +59,8 @@ class TorchDense(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(fan_in),
-            dtype=jnp.float32,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
 
 
@@ -67,6 +70,7 @@ class TorchConv(nn.Module):
     features: int
     kernel_size: Sequence[int]
     padding: Sequence[tuple[int, int]]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -79,7 +83,8 @@ class TorchConv(nn.Module):
             padding=tuple(self.padding),
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(fan_in),
-            dtype=jnp.float32,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
 
 
@@ -94,6 +99,7 @@ class BatchNorm(nn.Module):
     adabn: bool = True
     momentum: float = 0.9  # ⇔ torch momentum=0.1
     epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -102,7 +108,8 @@ class BatchNorm(nn.Module):
             use_running_average=use_running,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
 
 

@@ -101,6 +101,12 @@ class Trainer:
     #     (per-row DMA grid loses to XLA's vectorized take inside the scan)
     use_pallas_loss: Optional[bool] = None  # None → auto (TPU only)
     use_pallas_gather: bool = False
+    # encoder compute dtype: "bfloat16" runs the conv/MLP GEMMs MXU-native
+    # (params, loss, optimizer state stay float32 — mixed precision).
+    # A/B at the canonical geometry (bs=8): 1.88M w/s either way — the
+    # 328-row steps are scheduling-bound, not MXU-bound; bf16 pays off at
+    # larger batch sizes / model widths.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.use_pallas_loss is None:
@@ -116,6 +122,7 @@ class Trainer:
             prediction=self.prediction,
             glove=self.glove,
             glove_encoding=self.glove_encoding,
+            dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32,
         )
         self.view_train = self.store.view("train", db2=self.db2)
         self.view_val = self.store.view("val", db2=self.db2)
