@@ -15,7 +15,6 @@ import os
 import time
 
 import jax
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -69,10 +68,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
-    from contrastiveprosthetics_tpu.train.checkpoint import (
-        load_checkpoint,
-        save_checkpoint,
-    )
+    from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint
     from contrastiveprosthetics_tpu.train.crossval import (
         best_config,
         cross_validate,
@@ -81,7 +77,7 @@ def main(argv=None):
         load_crossval,
         sample_hyperparams,
     )
-    from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+    from contrastiveprosthetics_tpu.train.engine import Trainer
     from contrastiveprosthetics_tpu.train.loop import run_test, train_loop
 
     if args.profile:

@@ -136,7 +136,9 @@ def moving_rms(x: jax.Array, window: int = 11) -> jax.Array:
     csum = jnp.cumsum(sq, axis=0)
     zero = jnp.zeros_like(csum[:1])
     csum = jnp.concatenate([zero, csum], axis=0)
-    window_sums = csum[window:] - csum[:-window]
+    # clamp: cumsum differencing can cancel to tiny negatives in f32,
+    # and sqrt(-ε) would poison the window with NaN
+    window_sums = jnp.maximum(csum[window:] - csum[:-window], 0.0)
     return jnp.sqrt(window_sums / window)
 
 

@@ -13,7 +13,7 @@ Two production paths:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from contrastiveprosthetics_tpu.parallel.mesh import (

@@ -20,7 +20,6 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from contrastiveprosthetics_tpu.config import Config
@@ -31,7 +30,7 @@ from contrastiveprosthetics_tpu.data.sampler import (
     gather_train_batch,
     task_permutations,
 )
-from contrastiveprosthetics_tpu.data.store import DeviceStore, SplitView
+from contrastiveprosthetics_tpu.data.store import DeviceStore
 from contrastiveprosthetics_tpu.models.clip import ContrastiveModel, l2_penalty
 from contrastiveprosthetics_tpu.train.loss import (
     contrastive_train_accuracy,

@@ -13,7 +13,6 @@ import dataclasses
 from typing import Optional
 
 import jax
-import numpy as np
 
 from contrastiveprosthetics_tpu.train.checkpoint import save_checkpoint
 from contrastiveprosthetics_tpu.train.engine import EvalResult, Hyper, Trainer

@@ -166,3 +166,14 @@ def test_gather_batches_match_reference_semantics():
                            jnp.asarray([0, v.D_glove + 3]), v.D_glove)
     )
     assert g.shape == (2, 41, 20)
+
+
+def test_ingest_handles_short_segments(tmp_path):
+    """Recordings shorter than the 2010-sample window must be edge-padded,
+    not crash (the reference would fail on its time_mask indexing)."""
+    root = str(tmp_path / "mats")
+    write_emg_mat_files(root, CFG, [0], samples_per_rep=1500)
+    out = str(tmp_path / "out")
+    r = ingest_emg(CFG, root, out, people_positions=[0], verbose=False)
+    assert r["emg"].shape == (1, 41, 6, 100, 12)
+    assert np.isfinite(r["emg"]).all()
