@@ -296,18 +296,22 @@ class Trainer:
                 mutable=["batch_stats"],
             )
             if self.prediction:
-                # (bs·T, W, C): CE over all frames, majority vote over W
                 labels = jnp.tile(jnp.arange(T), bs)
-                loss = prediction_loss(
-                    out.reshape(-1, self.cfg.max_tasks),
-                    jnp.repeat(labels, W),
-                )
-                acc = prediction_vote_accuracy(out, labels)
-                votes = jnp.argmax(
-                    jnp.sum(jax.nn.one_hot(jnp.argmax(out, -1),
-                                           self.cfg.max_tasks), axis=1),
-                    axis=-1,
-                ).reshape(bs, T)
+                if out.ndim == 2:
+                    # glove-prediction path has no vote window (models.py:187)
+                    loss = prediction_loss(out, labels)
+                    votes = jnp.argmax(out, axis=-1).reshape(bs, T)
+                else:
+                    # (bs·T, W, C): CE over all frames, majority vote over W
+                    loss = prediction_loss(
+                        out.reshape(-1, self.cfg.max_tasks),
+                        jnp.repeat(labels, W),
+                    )
+                    votes = jnp.argmax(
+                        jnp.sum(jax.nn.one_hot(jnp.argmax(out, -1),
+                                               self.cfg.max_tasks), axis=1),
+                        axis=-1,
+                    ).reshape(bs, T)
                 curve = jnp.broadcast_to(
                     (votes == jnp.arange(T)).astype(jnp.float32).mean(-1)[:, None],
                     (bs, n_prefix),

@@ -100,3 +100,18 @@ def test_train_epoch_is_deterministic(store, hyper):
         jax.tree_util.tree_leaves(s0b.params), jax.tree_util.tree_leaves(s1b.params)
     ):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prediction_glove_mode_runs(store, hyper):
+    """--prediction --glove: classify from glove angles (the reference's
+    head is dimensionally broken, models.py:416-428; ours works)."""
+    trainer = Trainer(
+        CFG, store, adabn=False, prediction=True, glove=True, batch_size=8
+    )
+    res = train_loop(
+        trainer, hyper, epochs=1, key=jax.random.PRNGKey(10), verbose=False
+    )
+    t = run_test(trainer, res.state, hyper, jax.random.PRNGKey(11))
+    assert np.isfinite(float(t.loss))
+    # the synthetic glove corpus is class-separable → should learn strongly
+    assert float(t.accuracy) > 0.2
