@@ -115,3 +115,21 @@ def test_prediction_glove_mode_runs(store, hyper):
     assert np.isfinite(float(t.loss))
     # the synthetic glove corpus is class-separable → should learn strongly
     assert float(t.accuracy) > 0.2
+
+
+def test_db2_view_training(hyper):
+    """BASELINE config 1 geometry: DB2 subjects, train folds test reps in
+    (load.py:193-195), test uses the val rep."""
+    emg, pos, glove = make_processed_dataset(
+        CFG, people_positions=[0, 1], separability=6.0, seed=5
+    )
+    store = DeviceStore(CFG, emg, pos, glove)
+    trainer = Trainer(CFG, store, db2=True, adabn=False, batch_size=8)
+    assert trainer.view_train.n_reps == 5    # 3 train + 2 test reps folded in
+    assert trainer.view_test.n_reps == 1     # db2 test = val rep
+    res = train_loop(
+        trainer, hyper, epochs=1, key=jax.random.PRNGKey(20), verbose=False
+    )
+    t = run_test(trainer, res.state, hyper, jax.random.PRNGKey(21))
+    assert np.isfinite(float(t.loss))
+    assert float(t.accuracy) > 0.3
