@@ -22,7 +22,7 @@ def test_step_matches_torch_formula():
     f = step_factors(12, step_size=5, gamma=0.2)
     want = 0.2 ** (np.arange(12) // 5)
     np.testing.assert_allclose(f, want)
-    assert f[0] == 1.0 and f[5] == 0.2 and f[10] == 0.2**2
+    np.testing.assert_allclose([f[0], f[5], f[10]], [1.0, 0.2, 0.04], rtol=1e-12)
 
 
 def test_shared_steplr_compat():
