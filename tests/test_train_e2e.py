@@ -133,3 +133,21 @@ def test_db2_view_training(hyper):
     t = run_test(trainer, res.state, hyper, jax.random.PRNGKey(21))
     assert np.isfinite(float(t.loss))
     assert float(t.accuracy) > 0.3
+
+
+def test_eval_item_order_invariant_to_batching(store, hyper):
+    """Eval artifacts are un-shuffled back to item order, so two evals with
+    the same sampler key but different batch sizes must produce identical
+    per-item rows (plain BN: no batch-composition effects)."""
+    trainer = Trainer(CFG, store, adabn=False, batch_size=8)
+    state = trainer.init_state(jax.random.PRNGKey(30))
+    key = jax.random.PRNGKey(31)
+    a = trainer.evaluate(state, key, hyper, split="test", batch_size=4)
+    b = trainer.evaluate(state, key, hyper, split="test", batch_size=16)
+    np.testing.assert_allclose(
+        np.asarray(a.curve), np.asarray(b.curve), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(a.y_pred), np.asarray(b.y_pred))
+    np.testing.assert_allclose(
+        np.asarray(a.logits), np.asarray(b.logits), atol=1e-5
+    )
