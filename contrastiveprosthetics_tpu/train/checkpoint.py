@@ -23,3 +23,20 @@ def load_checkpoint(path: str, template):
     """Restore into the structure of ``template`` (a freshly built state)."""
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+# --------------------------------------------------------------------- orbax
+def save_checkpoint_orbax(path: str, state) -> None:
+    """Orbax backend: directory-based, async-capable, multi-host-ready —
+    for deployments where the msgpack single-file format isn't enough."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_checkpoint_orbax(path: str, template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path), item=template)

@@ -93,7 +93,9 @@ def test_sharded_step_matches_single_device(trainer, hyper):
 
 def test_config_sharded_crossval_epoch(trainer, hyper):
     mesh = make_mesh(n_dp=8, n_mp=1)
-    tr = Trainer(CFG, trainer.store, adabn=True, batch_size=100)
+    # batch_size=D → the epoch scan has ONE step, keeping the (expensive)
+    # GSPMD-through-vmap CPU compile small
+    tr = Trainer(CFG, trainer.store, adabn=True, batch_size=300)
     n_cfg = 8
     hypers = Hyper(*[jnp.full((n_cfg,), float(x), jnp.float32) for x in hyper])
     keys = jax.random.split(jax.random.PRNGKey(3), n_cfg)

@@ -151,3 +151,22 @@ def test_eval_item_order_invariant_to_batching(store, hyper):
     np.testing.assert_allclose(
         np.asarray(a.logits), np.asarray(b.logits), atol=1e-5
     )
+
+
+def test_orbax_checkpoint_roundtrip(store, hyper, tmp_path):
+    from contrastiveprosthetics_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    trainer = Trainer(CFG, store, adabn=False, batch_size=8)
+    state = trainer.init_state(jax.random.PRNGKey(40))
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, state)
+    template = trainer.init_state(jax.random.PRNGKey(41))
+    restored = load_checkpoint_orbax(path, template)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
