@@ -47,6 +47,45 @@ def make_sharded_train_step(trainer: Trainer, mesh):
     return step, place_state
 
 
+def make_sharded_crossval_step(trainer: Trainer, mesh):
+    """Config-sharded single optimization step: ``step(states, emg_b,
+    glove_b, hypers, lr_e, lr_g, keys)`` with the leading config axis of
+    states/batches/hypers/keys sharded over ``dp``. The cheap-to-compile
+    demonstration of the crossval scale-out (the full sharded epoch lives in
+    ``make_sharded_crossval_epoch``)."""
+
+    def cfg_sharding_for(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(
+                mesh, P(*(("dp",) + (None,) * (max(leaf.ndim, 1) - 1)))
+            ),
+            tree,
+        )
+
+    vmapped = jax.vmap(trainer._sgd_step, in_axes=(0, 0, 0, 0, None, None, 0))
+
+    def step(states, emg_b, glove_b, hypers, lr_e, lr_g, keys):
+        st_sh = cfg_sharding_for(states)
+        rep = replicated(mesh)
+        fn = jax.jit(
+            vmapped,
+            in_shardings=(
+                st_sh,
+                cfg_sharding_for(emg_b),
+                cfg_sharding_for(glove_b),
+                cfg_sharding_for(hypers),
+                rep,
+                rep,
+                cfg_sharding_for(keys),
+            ),
+            out_shardings=(st_sh, NamedSharding(mesh, P("dp")),
+                           NamedSharding(mesh, P("dp"))),
+        )
+        return fn(states, emg_b, glove_b, hypers, lr_e, lr_g, keys)
+
+    return step
+
+
 def make_sharded_crossval_epoch(trainer: Trainer, mesh):
     """Returns (epoch_fn, place): ``epoch_fn(states, keys, hypers, f_e,
     f_g)`` with the leading config axis of every argument sharded over
