@@ -24,6 +24,20 @@ def task_permutations(key: jax.Array, n_tasks: int, D: int) -> jax.Array:
     return perms + offsets
 
 
+def identity_permutations(n_tasks: int, D: int) -> jax.Array:
+    """(n_tasks, D) int32 — row ``t`` is the *identity* ``[tD, (t+1)D)``.
+
+    Deterministic counterpart of :func:`task_permutations` for evaluations
+    that must preserve the item axis ordering (per-subject AdaBN eval:
+    eval items are (person, rep, group) row-major per load.py:233-240, so a
+    subject's windows are one contiguous block only under identity
+    indexing)."""
+    return (
+        jnp.arange(n_tasks, dtype=jnp.int32)[:, None] * D
+        + jnp.arange(D, dtype=jnp.int32)[None, :]
+    )
+
+
 def epoch_batches(key: jax.Array, D: int, batch_size: int) -> jax.Array:
     """(n_batches, batch_size) item indices for one epoch.
 
@@ -37,6 +51,36 @@ def epoch_batches(key: jax.Array, D: int, batch_size: int) -> jax.Array:
     order = jax.random.permutation(key, D)
     n_batches = D // bs
     return order[: n_batches * bs].reshape(n_batches, bs)
+
+
+def epoch_batches_padded(key: jax.Array, D: int, batch_size: int):
+    """Like :func:`epoch_batches` but covers *every* item: the trailing
+    partial batch is padded by wrapping the permutation, and a parallel
+    float32 weight matrix marks the pad duplicates with 0.
+
+    Returns ``(batches, weights, inverse)`` where ``batches`` is
+    (n_batches, bs) item ids, ``weights`` is (n_batches, bs) ∈ {0, 1}, and
+    ``inverse`` is the length-D inverse permutation mapping item id → its
+    first-occurrence position in ``batches.reshape(-1)`` (used to un-shuffle
+    per-item outputs back to item order; eval is the DataLoader
+    drop_last=False semantics of train.py:32,51).
+    """
+    bs = min(batch_size, D)
+    order = jax.random.permutation(key, D)
+    n_batches = -(-D // bs)
+    pad = n_batches * bs - D
+    order_padded = jnp.concatenate([order, order[:pad]]) if pad else order
+    weights = jnp.concatenate(
+        [jnp.ones((D,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    inverse = (
+        jnp.zeros((D,), order.dtype).at[order].set(jnp.arange(D, dtype=order.dtype))
+    )
+    return (
+        order_padded.reshape(n_batches, bs),
+        weights.reshape(n_batches, bs),
+        inverse,
+    )
 
 
 def gather_train_batch(

@@ -25,9 +25,11 @@ import optax
 from contrastiveprosthetics_tpu.config import Config
 from contrastiveprosthetics_tpu.data.sampler import (
     epoch_batches,
+    epoch_batches_padded,
     gather_eval_batch,
     gather_glove_batch,
     gather_train_batch,
+    identity_permutations,
     task_permutations,
 )
 from contrastiveprosthetics_tpu.data.store import DeviceStore
@@ -36,8 +38,10 @@ from contrastiveprosthetics_tpu.train.loss import (
     contrastive_train_accuracy,
     prediction_accuracy,
     prediction_loss,
+    prediction_loss_per_item,
     prediction_vote_accuracy,
     symmetric_contrastive_loss,
+    symmetric_contrastive_loss_per_item,
 )
 from contrastiveprosthetics_tpu.eval.voting import vote_from_logits
 
@@ -274,8 +278,12 @@ class Trainer:
     # ------------------------------------------------------------------ eval
     def _evaluate(self, state: TrainState, key: jax.Array, hyper: Hyper,
                   split: str, batch_size: int) -> EvalResult:
-        v = {"val": self.view_val, "test": self.view_test,
-             "train": self.view_train}[split]
+        """Full-split evaluation. Every item is evaluated exactly once: a
+        trailing partial batch is padded by wrapping (DataLoader
+        drop_last=False semantics, train.py:32,51) and pad duplicates are
+        weighted out of the loss; per-item outputs are un-shuffled back to
+        item order through a full-length inverse permutation."""
+        v = {"val": self.view_val, "test": self.view_test}[split]
         cfg = self.cfg
         W = cfg.prediction_window_size
         n_prefix = cfg.n_voting_cols
@@ -283,10 +291,11 @@ class Trainer:
         k_perm, k_glove, k_order = jax.random.split(key, 3)
         emg_rand = task_permutations(k_perm, T, v.D)
         glove_rand = task_permutations(k_glove, T, v.D_glove)
-        batches = epoch_batches(k_order, v.D, batch_size)  # (nb, bs)
+        batches, weights, inv = epoch_batches_padded(k_order, v.D, batch_size)
         bs = batches.shape[1]
 
-        def body(_, items):
+        def body(_, batch):
+            items, w = batch  # (bs,), (bs,)
             emg_b = gather_eval_batch(v.emg_groups, emg_rand, items)
             # (bs, T, W, 12)
             glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
@@ -299,13 +308,14 @@ class Trainer:
                 labels = jnp.tile(jnp.arange(T), bs)
                 if out.ndim == 2:
                     # glove-prediction path has no vote window (models.py:187)
-                    loss = prediction_loss(out, labels)
+                    item_loss = prediction_loss_per_item(out, labels, bs)
                     votes = jnp.argmax(out, axis=-1).reshape(bs, T)
                 else:
                     # (bs·T, W, C): CE over all frames, majority vote over W
-                    loss = prediction_loss(
+                    item_loss = prediction_loss_per_item(
                         out.reshape(-1, self.cfg.max_tasks),
                         jnp.repeat(labels, W),
+                        bs,
                     )
                     votes = jnp.argmax(
                         jnp.sum(jax.nn.one_hot(jnp.argmax(out, -1),
@@ -318,25 +328,27 @@ class Trainer:
                 )
                 y_true = jnp.broadcast_to(jnp.arange(T), (bs, T))
                 logits_out = jnp.zeros((bs, W, T, T), jnp.float32)
-                return None, (loss, curve, votes, y_true, logits_out)
+                return None, (jnp.sum(item_loss * w), curve, votes, y_true,
+                              logits_out)
             logits = out
-            loss = symmetric_contrastive_loss(logits)
+            item_loss = symmetric_contrastive_loss_per_item(
+                logits
+            ).reshape(bs, W).mean(axis=-1)
             res = vote_from_logits(logits, window=W, n_prefix=n_prefix)
-            return None, (loss, res.curve, res.y_pred, res.y_true,
-                          logits.reshape(bs, W, T, T))
+            return None, (jnp.sum(item_loss * w), res.curve, res.y_pred,
+                          res.y_true, logits.reshape(bs, W, T, T))
 
-        _, (losses, curves, y_preds, y_trues, logits) = jax.lax.scan(
-            body, None, batches
+        _, (loss_sums, curves, y_preds, y_trues, logits) = jax.lax.scan(
+            body, None, (batches, weights)
         )
-        # un-shuffle back to item order so artifacts are deterministic
-        order = batches.reshape(-1)
-        inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        # un-shuffle back to item order (pad duplicates never referenced:
+        # inv maps each item to its first occurrence)
         curve = curves.reshape(-1, n_prefix)[inv]
         y_pred = y_preds.reshape(-1, T)[inv]
         y_true = y_trues.reshape(-1, T)[inv]
         logits = logits.reshape(-1, W, T, T)[inv].reshape(-1, T, T)
         return EvalResult(
-            loss=losses.mean(),
+            loss=loss_sums.sum() / v.D,
             accuracy=curve[:, -1].mean(),
             curve=curve,
             y_pred=y_pred,
@@ -360,8 +372,13 @@ class Trainer:
         batch per subject", models.py:245) which its TaskWrapper never
         delivers — DataLoader shuffling mixes subjects into every batch.
         The eval item axis is (person, rep, group) row-major
-        (load.py:233-240), so a subject's items are one contiguous slice.
+        (load.py:233-240), so a subject's items are one contiguous slice —
+        and the gathers must use *identity* index matrices (not the random
+        task permutations) or each "subject" batch would pull windows from
+        random subjects, defeating the per-subject batch statistics. Output
+        rows are therefore in true (person, rep, group) item order.
         """
+        del key  # deterministic: identity indexing, contiguous blocks
         v = {"val": self.view_val, "test": self.view_test}[split]
         per_subject = v.D // v.n_people
         # batches = per-subject contiguous item blocks, no shuffling needed
@@ -370,9 +387,8 @@ class Trainer:
         W = cfg.prediction_window_size
         n_prefix = cfg.n_voting_cols
         T = v.n_tasks
-        k_perm, k_glove = jax.random.split(key, 2)
-        emg_rand = task_permutations(k_perm, T, v.D)
-        glove_rand = task_permutations(k_glove, T, v.D_glove)
+        emg_rand = identity_permutations(T, v.D)
+        glove_rand = identity_permutations(T, v.D_glove)
 
         def body(_, subj_items):
             emg_b = gather_eval_batch(v.emg_groups, emg_rand, subj_items)

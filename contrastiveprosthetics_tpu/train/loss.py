@@ -33,6 +33,29 @@ def symmetric_contrastive_loss(logits: jax.Array) -> jax.Array:
     return (loss_e + loss_g) / 2.0
 
 
+def symmetric_contrastive_loss_per_item(logits: jax.Array) -> jax.Array:
+    """(N, T, T) similarity logits → (N,) per-item symmetric CE.
+
+    ``symmetric_contrastive_loss(logits) == per_item(logits).mean()`` exactly
+    (every item contributes the same number of rows). Used by the eval path
+    to weight out pad-duplicate items in the trailing partial batch.
+    """
+    logp_e = jax.nn.log_softmax(logits, axis=-1)
+    logp_g = jax.nn.log_softmax(jnp.swapaxes(logits, -1, -2), axis=-1)
+    diag_e = jnp.diagonal(logp_e, axis1=-2, axis2=-1)  # (N, T)
+    diag_g = jnp.diagonal(logp_g, axis1=-2, axis2=-1)
+    return -(jnp.mean(diag_e, axis=-1) + jnp.mean(diag_g, axis=-1)) / 2.0
+
+
+def prediction_loss_per_item(scores: jax.Array, labels: jax.Array,
+                             n_items: int) -> jax.Array:
+    """(rows, C) scores + (rows,) labels, rows = n_items·k → (n_items,)
+    per-item mean CE."""
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return ce.reshape(n_items, -1).mean(axis=-1)
+
+
 def contrastive_train_accuracy(logits: jax.Array) -> jax.Array:
     """Row-argmax accuracy on the EMG→class direction
     (models.py:148-149,165)."""

@@ -142,15 +142,28 @@ def test_eval_item_order_invariant_to_batching(store, hyper):
     trainer = Trainer(CFG, store, adabn=False, batch_size=8)
     state = trainer.init_state(jax.random.PRNGKey(30))
     key = jax.random.PRNGKey(31)
+    D = trainer.view_test.D
     a = trainer.evaluate(state, key, hyper, split="test", batch_size=4)
     b = trainer.evaluate(state, key, hyper, split="test", batch_size=16)
-    np.testing.assert_allclose(
-        np.asarray(a.curve), np.asarray(b.curve), atol=1e-6
-    )
-    np.testing.assert_array_equal(np.asarray(a.y_pred), np.asarray(b.y_pred))
-    np.testing.assert_allclose(
-        np.asarray(a.logits), np.asarray(b.logits), atol=1e-5
-    )
+    # non-dividing batch size: trailing partial batch is padded, every item
+    # still evaluated exactly once and un-shuffled to the right row
+    bs_ragged = 20
+    assert D % bs_ragged != 0
+    c = trainer.evaluate(state, key, hyper, split="test", batch_size=bs_ragged)
+    for other in (b, c):
+        np.testing.assert_allclose(
+            np.asarray(a.curve), np.asarray(other.curve), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.y_pred), np.asarray(other.y_pred)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.logits), np.asarray(other.logits), atol=1e-5
+        )
+        # loss weights pad duplicates out → exact per-item mean at any bs
+        np.testing.assert_allclose(
+            float(a.loss), float(other.loss), rtol=1e-5
+        )
 
 
 def test_orbax_checkpoint_roundtrip(store, hyper, tmp_path):
