@@ -25,6 +25,14 @@ Quirk ledger (each reproduced behind a compat flag, default = fixed):
     recomputes the per-channel std, ignoring the flag (the shipped
     ``emg_mean.npy`` is shape ``()`` while ``emg_std.npy`` is ``(12,)``).
     We reproduce exactly that pairing when the flag is set.
+  * ``compat_full_voting_bound`` — the reference's *current* voting loop
+    (``models.py:153``) iterates ``range(1, PREDICTION_WINDOW)`` = 249
+    prefix columns, where every column past the 25-frame window just
+    repeats the full-window vote (``pred[:win]`` clamps); its ``y_pred``
+    is then the 25-frame vote. The shipped ``voting.npy`` artifact has 24
+    columns (produced by an older ``range(1, PREDICTION_WINDOW_SIZE)``).
+    Default here: the 24-column artifact shape. Compat: the current-code
+    249-column curve and 25-frame y_pred.
 """
 from __future__ import annotations
 
@@ -99,6 +107,7 @@ class Config:
     compat_uint8_time_mask: bool = False
     compat_shared_steplr: bool = False
     compat_complete_stats: bool = False
+    compat_full_voting_bound: bool = False
 
     # ------------------------------------------------------------------ derived
     @property
@@ -167,6 +176,10 @@ class Config:
         # Shipped voting.npy has 24 columns: prefix lengths 1..24
         # (models.py:153 iterates range(1, PREDICTION_WINDOW) but the
         # artifacts were produced with range(1, PREDICTION_WINDOW_SIZE)).
+        # compat_full_voting_bound reproduces the current code's 249
+        # columns (prefixes past the window repeat the full-window vote).
+        if self.compat_full_voting_bound:
+            return self.prediction_window_ms - 1
         return self.prediction_window_size - 1
 
     @property

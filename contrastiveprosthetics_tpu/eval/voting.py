@@ -30,7 +30,9 @@ class VoteResult(NamedTuple):
 def vote_from_logits(logits: jax.Array, window: int, n_prefix: int) -> VoteResult:
     """``logits``: (B·window, T, T) in (batch-major, window) row order —
     the contrastive eval output. ``n_prefix``: number of voting-curve
-    columns (24 canonically)."""
+    columns (24 canonically; 249 under ``compat_full_voting_bound``, where
+    columns past the window clamp to the full-window vote exactly like the
+    reference's ``pred[:win]`` slice, models.py:153-155)."""
     T = logits.shape[-1]
     B = logits.shape[0] // window
     lg = logits.reshape(B, window, T, T)
@@ -40,8 +42,9 @@ def vote_from_logits(logits: jax.Array, window: int, n_prefix: int) -> VoteResul
     votes = jnp.argmax(counts, axis=-1)                  # (B, W, T) ties→min
     labels = jnp.arange(T)
     correct = votes == labels[None, None, :]             # (B, W, T)
-    curve = jnp.mean(correct[:, :n_prefix].astype(jnp.float32), axis=-1)
-    y_pred = votes[:, n_prefix - 1]                      # 24-frame vote
+    cols = jnp.minimum(jnp.arange(n_prefix), window - 1)  # clamp past window
+    curve = jnp.mean(correct[:, cols].astype(jnp.float32), axis=-1)
+    y_pred = votes[:, min(n_prefix, window) - 1]         # last-prefix vote
     y_true = jnp.broadcast_to(labels, (B, T))
     return VoteResult(
         curve=curve,
