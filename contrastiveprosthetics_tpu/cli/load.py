@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="canonical person positions to ingest (default all)")
     p.add_argument("--backend", choices=["jax", "scipy"], default="jax")
     p.add_argument("--synthetic_fixture", action="store_true")
+    p.add_argument("--compat", action="store_true",
+                   help="reproduce every reference quirk (uint8 time mask, "
+                        "complete stats, shared StepLR, 249-col voting)")
     p.add_argument("--check_glove", action="store_true",
                    help="sanity-check the glove-angle corpus: stimulus "
                         "ranges + NaN scan per subject (reference "
@@ -72,8 +75,10 @@ def check_glove_corpus(cfg, root, people=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG, compat_config
     from contrastiveprosthetics_tpu.data.ingest import ingest_emg, ingest_glove
+
+    cfg = compat_config(DEFAULT_CONFIG) if args.compat else DEFAULT_CONFIG
 
     if args.synthetic_fixture:
         from contrastiveprosthetics_tpu.data.synthetic import (
@@ -90,21 +95,22 @@ def main(argv=None):
         glove_people = [28, 29] if args.synthetic_fixture else None
         check_glove_corpus(cfg, args.root, people=glove_people)
 
+    # a synthetic fixture only writes glove subjects 28-29; scope every
+    # glove ingest accordingly (a full 39-person ingest would crash on
+    # the missing subjects)
+    glove_people = [28, 29] if args.synthetic_fixture else None
     if args.load:
         ingest_emg(
             cfg,
             args.root,
             args.data_dir,
             people_positions=args.people,
-            complete=args.complete,
+            complete=args.complete or cfg.compat_complete_stats,
             backend=args.backend,
         )
         if not args.no_glove and not args.load_glove:
-            ingest_glove(cfg, args.root, args.data_dir)
+            ingest_glove(cfg, args.root, args.data_dir, people=glove_people)
     if args.load_glove:
-        glove_people = None
-        if args.synthetic_fixture:
-            glove_people = [28, 29]
         ingest_glove(cfg, args.root, args.data_dir, people=glove_people)
 
     if args.info or args.viz:
@@ -112,12 +118,20 @@ def main(argv=None):
 
         store = DeviceStore.load(cfg, args.data_dir)
         if args.info:
+            import numpy as np
+
             print("Tasks (shuffled order):", cfg.tasks())
             for split in ("train", "val", "test"):
                 v = store.view(split)
+                t = np.asarray(v.emg_flat)
                 print(
                     f"{split.upper()}: tasks={v.n_tasks} people={v.n_people} "
                     f"reps={v.n_reps} D={v.D} total={v.n_tasks * v.D}"
+                )
+                # per-split tensor ranges (reference info(), load.py:278-291)
+                print(
+                    f"\trange [{t.min():.6g}, {t.max():.6g}] "
+                    f"mean {t.mean():.6g} std {t.std():.6g}"
                 )
         if args.viz:
             import matplotlib

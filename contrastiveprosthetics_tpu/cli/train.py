@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas batch gather")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (mixed precision)")
+    p.add_argument("--compat", action="store_true",
+                   help="reproduce every reference quirk (uint8 time mask, "
+                        "complete stats, shared StepLR, 249-col voting)")
+    p.add_argument("--crossval_id", type=str, default="",
+                   help="suffix for cross_val_{keys,values}<id>.npy "
+                        "(reference train.py:140,159-165 id_ parameter; "
+                        "the shipped cross_val_keys_finetune.npy used "
+                        "'_finetune')")
     return p
 
 
@@ -67,7 +75,7 @@ def build_store(args, cfg):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG, compat_config
     from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint
     from contrastiveprosthetics_tpu.train.crossval import (
         best_config,
@@ -79,6 +87,8 @@ def main(argv=None):
     )
     from contrastiveprosthetics_tpu.train.engine import Trainer
     from contrastiveprosthetics_tpu.train.loop import run_test, train_loop
+
+    cfg = compat_config(DEFAULT_CONFIG) if args.compat else DEFAULT_CONFIG
 
     if args.profile:
         jax.profiler.start_trace("/tmp/cptpu_trace")
@@ -103,7 +113,7 @@ def main(argv=None):
 
     # ---- cross-validation (train.py:140-198) ----
     if args.crossval_load:
-        values, keys = load_crossval(args.data_dir)
+        values, keys = load_crossval(args.data_dir, id_=args.crossval_id)
     else:
         hypers = sample_hyperparams(args.crossval_size, seed=args.seed)
         t0 = time.time()
@@ -114,6 +124,7 @@ def main(argv=None):
             key=jax.random.fold_in(key, 1),
             chunk=args.crossval_chunk,
             save_dir=args.data_dir,
+            id_=args.crossval_id,
         )
         print(f"crossval: {args.crossval_size} configs in {time.time() - t0:.1f}s")
         keys = keys_array(hypers, trainer.d_e)

@@ -258,6 +258,18 @@ class Config:
 DEFAULT_CONFIG = Config()
 
 
+def compat_config(cfg: Config = DEFAULT_CONFIG) -> Config:
+    """A config with every reference quirk enabled — the artifact-faithful
+    mode (each quirk documented in the module-docstring ledger)."""
+    return dataclasses.replace(
+        cfg,
+        compat_uint8_time_mask=True,
+        compat_shared_steplr=True,
+        compat_complete_stats=True,
+        compat_full_voting_bound=True,
+    )
+
+
 def derive_canonical_orderings():
     """Re-derive the seed-0 orderings from numpy (for the golden test)."""
     rng_state = np.random.get_state()

@@ -71,6 +71,7 @@ def cross_validate(
     chunk: Optional[int] = None,
     save_dir: Optional[str] = None,
     verbose: bool = True,
+    id_: str = "",
 ) -> np.ndarray:
     """Train all configs (vmapped, in chunks) and return values (n, 2) =
     (val_loss, val_acc) per config."""
@@ -119,19 +120,22 @@ def cross_validate(
             )
 
     if save_dir is not None:
+        # id_ parameterizes the cache filenames exactly like the reference's
+        # cross_validate(..., id_) (train.py:140,159-165 — the shipped
+        # cross_val_keys_finetune.npy came from id_="_finetune")
         os.makedirs(save_dir, exist_ok=True)
-        np.save(os.path.join(save_dir, "cross_val_values.npy"), values)
+        np.save(os.path.join(save_dir, f"cross_val_values{id_}.npy"), values)
         np.save(
-            os.path.join(save_dir, "cross_val_keys.npy"),
+            os.path.join(save_dir, f"cross_val_keys{id_}.npy"),
             keys_array(hypers, trainer.d_e),
         )
     return values
 
 
-def load_crossval(save_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def load_crossval(save_dir: str, id_: str = "") -> tuple[np.ndarray, np.ndarray]:
     """--crossval_load path (train.py:162-166)."""
-    values = np.load(os.path.join(save_dir, "cross_val_values.npy"))
-    keys = np.load(os.path.join(save_dir, "cross_val_keys.npy"))
+    values = np.load(os.path.join(save_dir, f"cross_val_values{id_}.npy"))
+    keys = np.load(os.path.join(save_dir, f"cross_val_keys{id_}.npy"))
     return values, keys
 
 

@@ -295,6 +295,69 @@ def test_eval_loss_and_voting_differential(ref):
     )
 
 
+def test_compat_mode_e2e(ref, tmp_path):
+    """The artifact-faithful configuration, end to end: EVERY compat quirk
+    on (uint8 time mask + complete stats + shared StepLR + 249-col voting),
+    ingest golden-checked against the reference's own pipeline, then a real
+    train → test run through the quirked geometry."""
+    import jax
+
+    from contrastiveprosthetics_tpu.config import compat_config
+    from contrastiveprosthetics_tpu.data.ingest import ingest_emg
+    from contrastiveprosthetics_tpu.data.store import DeviceStore
+    from contrastiveprosthetics_tpu.data.synthetic import write_emg_mat_files
+    from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+    from contrastiveprosthetics_tpu.train.loop import run_test, train_loop
+    from contrastiveprosthetics_tpu.train.schedules import schedule_factors
+
+    cfg = compat_config()
+    assert cfg.n_voting_cols == ref.constants.PREDICTION_WINDOW - 1  # 249
+
+    positions = [40, 41]  # two DB3 subjects → a 2-person test view
+    root = str(tmp_path / "mats")
+    out = str(tmp_path / "data")
+    write_emg_mat_files(root, cfg, positions, seed=13)
+    res = ingest_emg(
+        cfg, root, out, people_positions=positions,
+        complete=cfg.compat_complete_stats, backend="scipy", verbose=False,
+    )
+
+    # (quirk 1+2) ingest == the reference's own uint8-mask/complete pipeline
+    ref_emg, ref_mean, ref_std = _reference_ingest(
+        ref, root, cfg.people()[positions], tmp_path
+    )
+    np.testing.assert_allclose(
+        res["emg"], ref_emg.astype(np.float32), rtol=0, atol=1e-6
+    )
+    assert np.ndim(res["mean"]) == 0  # scalar-mean quirk made it to disk
+
+    # (quirk 3) shared StepLR: the EMG lr factor never decays
+    emg_f, glove_f = schedule_factors(
+        6, annealing=False, compat_shared_steplr=cfg.compat_shared_steplr
+    )
+    assert np.all(np.asarray(emg_f) == 1.0)
+    assert np.asarray(glove_f).min() < 1.0
+
+    # full train → test through the quirked pipeline
+    store = DeviceStore.load(cfg, out)
+    trainer = Trainer(cfg, store, adabn=True, batch_size=8)
+    hyper = Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
+    lres = train_loop(
+        trainer, hyper, epochs=1, key=jax.random.PRNGKey(0),
+        annealing=True, verbose=False,
+    )
+    t = run_test(trainer, lres.state, hyper, jax.random.PRNGKey(1))
+    D = trainer.view_test.D
+    # (quirk 4) 249-column curve; columns past the 25-frame window repeat
+    # the full-window vote (models.py:153 pred[:win] clamping)
+    assert t.curve.shape == (D, 249)
+    c = np.asarray(t.curve)
+    np.testing.assert_array_equal(
+        c[:, 24:], np.broadcast_to(c[:, 24:25], c[:, 24:].shape)
+    )
+    assert np.isfinite(float(t.loss))
+
+
 def test_train_loss_differential(ref):
     """Model.loss in training mode (times=1 path) == our train loss."""
     from contrastiveprosthetics_tpu.train.loss import (
