@@ -64,11 +64,17 @@ def _param_spec(path, leaf, hidden: int) -> P:
     if names and names[-1] == "kernel" and leaf.ndim == 2:
         d_in, d_out = leaf.shape
         if d_in == hidden and d_out == hidden:
-            # alternate by layer index parity
+            # alternate by layer index parity. The layer index lives in the
+            # *outer* TorchDense_<i> wrapper (each wraps a single Dense_0),
+            # so parse that component — parsing Dense_<i> would always see
+            # 0 and leave every hidden kernel column-parallel.
             idx = 0
             for n in names:
-                if n.startswith("Dense_"):
+                if n.startswith("TorchDense_"):
                     idx = int(n.split("_")[1])
+            # TorchDense_0 is the 768→512 input projection (column-
+            # parallel below); hidden layers 1,3,5 consume mp-sharded
+            # features row-parallel, 2,4,6 re-split column-parallel.
             return P("mp", None) if idx % 2 else P(None, "mp")
         if d_out == hidden:
             return P(None, "mp")   # input projection: column-parallel

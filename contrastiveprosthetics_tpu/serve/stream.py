@@ -52,6 +52,17 @@ class StreamingEngine:
         emg_std: np.ndarray,
         glove_prototypes: Optional[np.ndarray] = None,
     ):
+        if getattr(model, "adabn", False):
+            # AdaBN layers normalize with *current-batch* statistics even in
+            # eval (use_running_average=False); a single streamed frame has
+            # zero variance, so the encoder output would collapse to the BN
+            # bias and calibrated batch_stats would be silently ignored.
+            raise ValueError(
+                "StreamingEngine requires a plain-BN model (adabn=False): "
+                "AdaBN ignores calibrated running statistics at inference. "
+                "Train with --no_adabn and use calibrate() for "
+                "subject-adapted statistics."
+            )
         self.cfg = cfg
         self.model = model
         self.variables = variables

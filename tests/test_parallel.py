@@ -55,6 +55,29 @@ def test_tp_shards_wide_kernels(trainer):
     assert any("mp" in str(spec) for spec in specs)
 
 
+def test_tp_alternates_hidden_kernels(trainer):
+    """Consecutive 512×512 kernels must get alternating column/row specs
+    (megatron pairs); the layer index lives in TorchDense_<i>, not the
+    inner Dense_0."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_dp=4, n_mp=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state)
+    specs = {}
+    for name, sub in sh.params["emg_net"].items():
+        if name.startswith("TorchDense_"):
+            kernel = state.params["emg_net"][name]["Dense_0"]["kernel"]
+            if kernel.shape == (512, 512):
+                specs[int(name.split("_")[1])] = sub["Dense_0"]["kernel"].spec
+    assert len(specs) >= 4  # the 7-layer MLP has 6 hidden 512×512 kernels
+    for i, spec in specs.items():
+        assert spec == (P("mp", None) if i % 2 else P(None, "mp"))
+    idxs = sorted(specs)
+    for a, b in zip(idxs, idxs[1:]):
+        assert specs[a] != specs[b], "consecutive kernels must alternate"
+
+
 def test_sharded_step_matches_single_device(trainer, hyper):
     mesh = make_mesh(n_dp=4, n_mp=2)
     step, place_state = make_sharded_train_step(trainer, mesh)

@@ -29,6 +29,25 @@ def engine():
     )
 
 
+def test_streaming_rejects_adabn_model():
+    """AdaBN normalizes single streamed frames against their own
+    (zero-variance) statistics — the engine must refuse such models."""
+    model = ContrastiveModel(d_e=16, adabn=True, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    with pytest.raises(ValueError, match="adabn"):
+        StreamingEngine(
+            CFG, model, variables,
+            emg_mean=np.zeros(12, np.float32),
+            emg_std=np.ones(12, np.float32),
+        )
+
+
 def test_stateful_iir_matches_batch_filter(engine, rng):
     """Block-wise stateful filtering must equal one-shot sosfilt."""
     raw = rng.standard_normal((400, 12)).astype(np.float32)
