@@ -47,8 +47,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--pallas_loss", action="store_true",
                    help="fused Pallas similarity+CE kernel")
-    p.add_argument("--pallas_gather", action="store_true",
-                   help="fused Pallas batch gather")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (mixed precision)")
     p.add_argument("--compat", action="store_true",
@@ -105,14 +103,21 @@ def main(argv=None):
         glove_encoding=args.glove_encoding,
         batch_size=args.batch_size,
         use_pallas_loss=True if args.pallas_loss else None,  # None → auto
-        use_pallas_gather=args.pallas_gather,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print("Dataset loaded")
     key = jax.random.PRNGKey(args.seed)
 
     # ---- cross-validation (train.py:140-198) ----
-    if args.crossval_load:
+    crossval_load = args.crossval_load
+    if crossval_load and not os.path.exists(
+        os.path.join(args.data_dir, f"cross_val_values{args.crossval_id}.npy")
+    ):
+        # clean-machine path: go.sh passes --crossval_load unconditionally
+        # (the reference would crash here); fall back to running the sweep
+        print("no cached crossval found — running the sweep")
+        crossval_load = False
+    if crossval_load:
         values, keys = load_crossval(args.data_dir, id_=args.crossval_id)
     else:
         hypers = sample_hyperparams(args.crossval_size, seed=args.seed)
