@@ -37,6 +37,10 @@ class ContrastiveModel(nn.Module):
     glove: bool = False            # prediction mode: classify from glove
     glove_encoding: bool = False   # contrastive: encode angles, not one-hot
     dtype: jnp.dtype = jnp.float32  # encoder compute dtype (bf16 for MXU)
+    # architecture knobs (defaults = reference parity, models.py:266-298);
+    # tests shrink these to keep CPU GSPMD compiles tractable
+    n_linear: int = 7
+    hidden: int = 512
 
     def setup(self):
         self.emg_net = EMGNet(
@@ -45,6 +49,8 @@ class ContrastiveModel(nn.Module):
             n_classes=self.n_classes,
             adabn=self.adabn,
             prediction=self.prediction,
+            n_linear=self.n_linear,
+            hidden=self.hidden,
             dtype=self.dtype,
         )
         self.glove_net = GLOVENet(

@@ -100,10 +100,14 @@ class Trainer:
     # epochs at the canonical geometry (bs=8, T=41, d_e=16):
     #   fused loss   1.94M windows/s vs 1.87M XLA  → default ON on TPU
     #     (the custom VJP skips autodiff through the materialized logits)
-    #   fused gather 1.42M windows/s vs 1.87M XLA  → opt-in only
-    #     (per-row DMA grid loses to XLA's vectorized take inside the scan)
+    # A fused gather+normalize kernel was tried and DELETED: at 48-byte rows
+    # (C=12 f32) every variant is DMA-latency-bound and lost to XLA's
+    # vectorized take (1.42M vs 1.87M windows/s) — see ops/pallas_ops.py.
     use_pallas_loss: Optional[bool] = None  # None → auto (TPU only)
-    use_pallas_gather: bool = False
+    # architecture knobs (defaults = reference parity); shrink in tests to
+    # keep CPU GSPMD compiles tractable
+    n_linear: int = 7
+    hidden: int = 512
     # encoder compute dtype: "bfloat16" runs the conv/MLP GEMMs MXU-native
     # (params, loss, optimizer state stay float32 — mixed precision).
     # A/B at the canonical geometry (bs=8): 1.88M w/s either way — the
@@ -125,6 +129,8 @@ class Trainer:
             prediction=self.prediction,
             glove=self.glove,
             glove_encoding=self.glove_encoding,
+            n_linear=self.n_linear,
+            hidden=self.hidden,
             dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32,
         )
         self.view_train = self.store.view("train", db2=self.db2)
@@ -132,6 +138,7 @@ class Trainer:
         self.view_test = self.store.view("test", db2=self.db2)
         self._opt = optax.scale_by_adam()
         self._train_epoch_jit = None
+        self._train_epochs_jit = None
         self._eval_jit = {}
 
     # ------------------------------------------------------------------ init
@@ -243,20 +250,7 @@ class Trainer:
         def body(carry, items):
             state, step = carry
             dkey = jax.random.fold_in(k_drop, step)
-            if self.use_pallas_gather:
-                from contrastiveprosthetics_tpu.ops.pallas_ops import (
-                    gather_normalize,
-                    on_tpu,
-                )
-
-                idx = emg_rand[:, items].T.reshape(-1)  # (bs·T,)
-                zeros = jnp.zeros((self.cfg.emg_dim,), jnp.float32)
-                ones = jnp.ones((self.cfg.emg_dim,), jnp.float32)
-                emg_b = gather_normalize(
-                    v.emg_flat, idx, zeros, ones, interpret=not on_tpu()
-                )
-            else:
-                emg_b = gather_train_batch(v.emg_flat, emg_rand, items)
+            emg_b = gather_train_batch(v.emg_flat, emg_rand, items)
             emg_b = emg_b.reshape(items.shape[0], v.n_tasks, self.cfg.emg_dim)
             glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
             new_state, loss, acc = self._sgd_step(
@@ -264,6 +258,13 @@ class Trainer:
             )
             return (new_state, step + 1), (loss, acc)
 
+        if batches.shape[0] == 1:
+            # single-batch epoch: skip lax.scan — identical semantics, and
+            # XLA:CPU executes large GEMM/conv bodies INSIDE while-loops via
+            # a pathologically slow path (measured 28 s vs 1.5 s for the
+            # same body at bs=300); TPU is unaffected either way
+            (state, _), (loss, acc) = body((state, 0), batches[0])
+            return state, loss, acc
         (state, _), (losses, accs) = jax.lax.scan(body, (state, 0), batches)
         return state, losses.mean(), accs.mean()
 
@@ -273,6 +274,38 @@ class Trainer:
         return self._train_epoch_jit(
             state, key, hyper,
             jnp.float32(lr_emg_factor), jnp.float32(lr_glove_factor),
+        )
+
+    def _train_epochs(self, state: TrainState, key: jax.Array, hyper: Hyper,
+                      emg_factors, glove_factors):
+        """A whole multi-epoch run as ONE jitted program: ``lax.scan`` over
+        epochs with the per-epoch schedule factors (train/schedules.py) as
+        scanned arrays. Amortizes per-epoch dispatch — material on
+        remote-attached TPUs where each dispatch costs ~ms against a ~40 ms
+        epoch. Used by train_loop when no per-epoch host work (verbose
+        printing / checkpoint-on-val) is requested."""
+        def body(carry, xs):
+            k, f_e, f_g = xs
+            new_state, loss, acc = self._train_epoch(carry, k, hyper, f_e, f_g)
+            return new_state, (loss, acc)
+
+        keys = jax.random.split(key, emg_factors.shape[0])
+        state, (losses, accs) = jax.lax.scan(
+            body, state, (keys, emg_factors, glove_factors)
+        )
+        return state, losses, accs
+
+    def train_epochs(self, state, key, hyper, emg_factors, glove_factors):
+        """Run len(emg_factors) epochs in one dispatch; returns
+        (state, per-epoch losses, per-epoch accs)."""
+        if self._train_epochs_jit is None:
+            self._train_epochs_jit = jax.jit(
+                self._train_epochs, donate_argnums=(0,)
+            )
+        return self._train_epochs_jit(
+            state, key, hyper,
+            jnp.asarray(emg_factors, jnp.float32),
+            jnp.asarray(glove_factors, jnp.float32),
         )
 
     # ------------------------------------------------------------------ eval
@@ -338,9 +371,17 @@ class Trainer:
             return None, (jnp.sum(item_loss * w), res.curve, res.y_pred,
                           res.y_true, logits.reshape(bs, W, T, T))
 
-        _, (loss_sums, curves, y_preds, y_trues, logits) = jax.lax.scan(
-            body, None, (batches, weights)
-        )
+        if batches.shape[0] == 1:
+            # single eval batch (common: test bs = 8·bs ≥ D): skip lax.scan
+            # — XLA:CPU's while-loop path for large bodies is ~20× slower
+            _, out = body(None, (batches[0], weights[0]))
+            loss_sums, curves, y_preds, y_trues, logits = jax.tree_util.tree_map(
+                lambda x: x[None], out
+            )
+        else:
+            _, (loss_sums, curves, y_preds, y_trues, logits) = jax.lax.scan(
+                body, None, (batches, weights)
+            )
         # un-shuffle back to item order (pad duplicates never referenced:
         # inv maps each item to its first occurrence)
         curve = curves.reshape(-1, n_prefix)[inv]

@@ -47,6 +47,23 @@ def train_loop(
         epochs, annealing, trainer.cfg.compat_shared_steplr
     )
 
+    if not verbose and not checkpoint and epochs > 1:
+        # no per-epoch host work → the whole run is ONE device dispatch
+        # (engine.train_epochs: lax.scan over epochs), then the reference's
+        # single end-of-run validation (train.py:131-136)
+        key, k_ep, k_val = jax.random.split(key, 3)
+        state, losses, accs = trainer.train_epochs(
+            state, k_ep, hyper, emg_f, glove_f
+        )
+        res = trainer.evaluate(state, k_val, hyper, split="val")
+        return LoopResult(
+            val_loss=float(res.loss),
+            val_acc=float(res.accuracy),
+            train_losses=[float(x) for x in losses],
+            train_accs=[float(x) for x in accs],
+            state=state,
+        )
+
     val_losses = []
     train_losses, train_accs = [], []
     loss_val = acc_val = float("nan")

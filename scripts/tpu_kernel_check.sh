@@ -6,8 +6,7 @@ cd "$(dirname "$0")/.."
 python - <<'PY'
 import numpy as np, jax, jax.numpy as jnp
 from contrastiveprosthetics_tpu.ops.pallas_ops import (
-    fused_contrastive_loss, fused_contrastive_reference,
-    gather_normalize, gather_normalize_reference, on_tpu)
+    fused_contrastive_loss, fused_contrastive_reference, on_tpu)
 assert on_tpu(), f"not on TPU: {jax.default_backend()}"
 rng = np.random.default_rng(0)
 e = rng.standard_normal((12,41,16)).astype(np.float32)
@@ -16,10 +15,10 @@ e /= np.linalg.norm(e,axis=-1,keepdims=True); g /= np.linalg.norm(g,axis=-1,keep
 lp, cp = jax.jit(lambda e,g: fused_contrastive_loss(e,g,False))(jnp.asarray(e), jnp.asarray(g))
 lr, cr = fused_contrastive_reference(jnp.asarray(e), jnp.asarray(g))
 assert np.allclose(float(lp), float(lr), rtol=1e-4) and float(cp)==float(cr)
-src = jnp.asarray(rng.standard_normal((1000,12)).astype(np.float32))
-idx = jnp.asarray(rng.integers(0,1000,size=(64,)).astype(np.int32))
-m = jnp.zeros(12); s = jnp.ones(12)
-out = jax.jit(lambda a,b: gather_normalize(a,b,m,s,False))(src, idx)
-assert np.allclose(np.asarray(out), gather_normalize_reference(np.asarray(src), np.asarray(idx), np.asarray(m), np.asarray(s)))
+lg = jax.jit(jax.grad(lambda e,g: fused_contrastive_loss(e,g,False)[0], argnums=(0,1)))
+ge, gg = lg(jnp.asarray(e), jnp.asarray(g))
+rge, rgg = jax.grad(lambda e,g: fused_contrastive_reference(e,g)[0], argnums=(0,1))(jnp.asarray(e), jnp.asarray(g))
+assert np.allclose(np.asarray(ge), np.asarray(rge), rtol=1e-3, atol=1e-6)
+assert np.allclose(np.asarray(gg), np.asarray(rgg), rtol=1e-3, atol=1e-6)
 print("TPU kernel check OK")
 PY

@@ -9,8 +9,6 @@ import pytest
 from contrastiveprosthetics_tpu.ops.pallas_ops import (
     fused_contrastive_loss,
     fused_contrastive_reference,
-    gather_normalize,
-    gather_normalize_reference,
 )
 
 N, T, D = 12, 41, 16  # N deliberately not a multiple of the 8-item block
@@ -59,15 +57,3 @@ def test_fused_loss_custom_vjp_matches_autodiff(embeddings):
     np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_r), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_r), rtol=1e-4, atol=1e-6)
 
-
-def test_gather_normalize_matches_reference(rng):
-    src = rng.standard_normal((300, 12)).astype(np.float32)
-    idx = rng.integers(0, 300, size=(64,)).astype(np.int32)
-    mean = rng.standard_normal(12).astype(np.float32)
-    std = (0.5 + rng.random(12)).astype(np.float32)
-    got = gather_normalize(
-        jnp.asarray(src), jnp.asarray(idx), jnp.asarray(mean), jnp.asarray(std),
-        interpret=True,
-    )
-    want = gather_normalize_reference(src, idx, mean, std)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)

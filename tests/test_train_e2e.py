@@ -183,3 +183,40 @@ def test_orbax_checkpoint_roundtrip(store, hyper, tmp_path):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_multi_epoch_scan_matches_sequential_epochs(store, hyper):
+    """engine.train_epochs (one lax.scan-over-epochs dispatch, the
+    train_loop verbose=False path) must equal the same epochs dispatched
+    one by one with identical keys/factors."""
+    # small model + small batches: XLA:CPU executes sizeable loop bodies
+    # ~20× slower than straight-line code (see engine._train_epoch), so keep
+    # per-step rows small; equivalence is architecture-independent
+    trainer = Trainer(
+        CFG, store, adabn=False, batch_size=8, n_linear=2, hidden=64
+    )
+    key = jax.random.PRNGKey(7)
+    factors = np.array([1.0, 0.5], np.float32)
+
+    s0 = trainer.init_state(jax.random.PRNGKey(8))
+    s_scan, losses, accs = trainer.train_epochs(s0, key, hyper, factors, factors)
+
+    s_seq = trainer.init_state(jax.random.PRNGKey(8))
+    keys = jax.random.split(key, 2)
+    seq_losses = []
+    for i in range(2):
+        s_seq, loss, acc = trainer.train_epoch(
+            s_seq, keys[i], hyper, float(factors[i]), float(factors[i])
+        )
+        seq_losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(seq_losses), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_scan.params),
+        jax.tree_util.tree_leaves(s_seq.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
