@@ -89,8 +89,16 @@ def make_sharded_crossval_step(trainer: Trainer, mesh):
 def make_sharded_crossval_epoch(trainer: Trainer, mesh):
     """Returns (epoch_fn, place): ``epoch_fn(states, keys, hypers, f_e,
     f_g)`` with the leading config axis of every argument sharded over
-    ``dp``. Each device trains its config slice independently."""
-    cfg_sh_leaf = NamedSharding(mesh, P("dp"))
+    ``dp``. Each device trains its config slice independently.
+
+    Implemented with ``shard_map`` rather than GSPMD ``in_shardings`` over a
+    vmapped epoch: the config axis is embarrassingly parallel (zero
+    collectives), so per-shard tracing is exact — and it sidesteps the SPMD
+    partitioner, whose pass over a vmapped scan-of-train-step program is a
+    multi-hour XLA:CPU compile (measured on the 8-virtual-device test mesh;
+    the partitioned HLO is identical in effect). Inside each shard the
+    config slice is still vmapped, so the MXU sees batched GEMMs."""
+    from jax import shard_map
 
     def cfg_sharding_for(tree):
         return jax.tree_util.tree_map(
@@ -102,15 +110,27 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
 
     vmapped = jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None))
 
+    cfg_spec = P("dp")
+    rep_spec = P()
+
+    def spec_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
     def epoch_fn(states, keys, hypers, f_e, f_g):
-        st_sh = cfg_sharding_for(states)
-        k_sh = cfg_sharding_for(keys)
-        h_sh = cfg_sharding_for(hypers)
-        rep = replicated(mesh)
         fn = jax.jit(
-            vmapped,
-            in_shardings=(st_sh, k_sh, h_sh, rep, rep),
-            out_shardings=(st_sh, cfg_sh_leaf, cfg_sh_leaf),
+            shard_map(
+                vmapped,
+                mesh=mesh,
+                in_specs=(
+                    spec_like(states, cfg_spec),
+                    cfg_spec,
+                    spec_like(hypers, cfg_spec),
+                    rep_spec,
+                    rep_spec,
+                ),
+                out_specs=(spec_like(states, cfg_spec), cfg_spec, cfg_spec),
+                check_vma=False,
+            )
         )
         return fn(states, keys, hypers, f_e, f_g)
 

@@ -25,10 +25,16 @@ CFG = DEFAULT_CONFIG
 @pytest.fixture(scope="module")
 def trainer():
     emg, pos, glove = make_processed_dataset(
-        CFG, people_positions=[40, 41], separability=6.0, seed=3
+        CFG, people_positions=[40], separability=6.0, seed=3
     )
     store = DeviceStore(CFG, emg, pos, glove)
-    return Trainer(CFG, store, adabn=False, batch_size=8)
+    # narrow model + batch_size == D (single-batch epochs, no lax.scan):
+    # sweep mechanics (vmapping, chunking, artifacts) are architecture- and
+    # batch-independent, while XLA:CPU executes any sizeable body INSIDE a
+    # while-loop ~20× slower than straight-line (engine._train_epoch note)
+    return Trainer(
+        CFG, store, adabn=False, batch_size=300, n_linear=2, hidden=64
+    )
 
 
 def test_sampling_distributions():

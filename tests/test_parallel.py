@@ -115,10 +115,17 @@ def test_sharded_step_matches_single_device(trainer, hyper):
 
 
 def test_config_sharded_crossval_epoch(trainer, hyper):
+    """The config-sharded epoch executes on the 8-device mesh AND equals the
+    single-device vmapped epoch. Narrow model (n_linear=3, hidden=128):
+    GSPMD-through-vmap of the full 7×512 MLP is a pathological multi-hour
+    XLA:CPU compile on this box; the sharding semantics being tested are
+    width-independent."""
     mesh = make_mesh(n_dp=8, n_mp=1)
     # batch_size=D → the epoch scan has ONE step, keeping the (expensive)
     # GSPMD-through-vmap CPU compile small
-    tr = Trainer(CFG, trainer.store, adabn=True, batch_size=300)
+    tr = Trainer(
+        CFG, trainer.store, adabn=True, batch_size=300, n_linear=2, hidden=64
+    )
     n_cfg = 8
     hypers = Hyper(*[jnp.full((n_cfg,), float(x), jnp.float32) for x in hyper])
     keys = jax.random.split(jax.random.PRNGKey(3), n_cfg)
@@ -129,3 +136,12 @@ def test_config_sharded_crossval_epoch(trainer, hyper):
     )
     assert losses.shape == (n_cfg,)
     assert np.isfinite(np.asarray(losses)).all()
+    # correctness: sharded == single-device vmapped epoch
+    states2 = jax.vmap(tr.init_state)(keys)
+    vmapped = jax.vmap(tr._train_epoch, in_axes=(0, 0, 0, None, None))
+    _, losses_ref, _ = jax.jit(vmapped)(
+        states2, keys, hypers, jnp.float32(1.0), jnp.float32(1.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(losses_ref), rtol=1e-4, atol=1e-5
+    )
