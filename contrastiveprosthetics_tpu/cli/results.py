@@ -16,6 +16,10 @@ def main(argv=None):
     p = build_parser()
     args = p.parse_args(argv)
 
+    from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
     from contrastiveprosthetics_tpu.results.export import export_results
     from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint

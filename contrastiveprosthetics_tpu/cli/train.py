@@ -73,6 +73,10 @@ def build_store(args, cfg):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG, compat_config
     from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint
     from contrastiveprosthetics_tpu.train.crossval import (

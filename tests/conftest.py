@@ -11,8 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 # Persistent compilation cache: CPU compiles of the big jitted epoch programs
-# dominate suite time; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cptpu")
+# dominate suite time; cache them across runs. The cache lives INSIDE the
+# repo (gitignored) because /tmp is wiped between driver sessions — a
+# repo-local cache keeps later rounds' suites warm (~10 min vs ~50 cold).
+_CACHE = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_CACHE))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
@@ -25,6 +28,15 @@ import jax  # noqa: E402
 # The environment's 'axon' TPU plugin force-prepends itself to jax_platforms,
 # overriding the JAX_PLATFORMS env var — force CPU via the config API.
 jax.config.update("jax_platforms", "cpu")
+
+# jax 0.9.0 IGNORES the JAX_COMPILATION_CACHE_DIR/JAX_PERSISTENT_CACHE_*
+# env vars (verified empirically) — the config API is the only thing that
+# actually enables the persistent cache.
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
