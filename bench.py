@@ -165,5 +165,25 @@ def main():
     print(json.dumps(out))
 
 
+def main_with_retry():
+    """The remote-attached 'axon' TPU occasionally drops its tunnel
+    mid-session (observed: jax.errors.JaxRuntimeError FAILED_PRECONDITION,
+    recovers within minutes). One bad tick must not corrupt the recorded
+    bench, so on failure re-exec once in a FRESH process (the dead backend
+    client is cached process-wide) after a cooldown."""
+    import os
+
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — any backend error is retryable
+        if os.environ.get("CPTPU_BENCH_RETRY") == "1":
+            raise
+        print(f"bench attempt failed ({type(e).__name__}: {e}); "
+              f"re-executing in 120 s", file=sys.stderr)
+        time.sleep(120)
+        os.environ["CPTPU_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()
