@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compat", action="store_true",
                    help="reproduce every reference quirk (uint8 time mask, "
                         "complete stats, shared StepLR, 249-col voting)")
+    p.add_argument("--spmd_crossval", action="store_true",
+                   help="shard the crossval config axis over all visible "
+                        "devices (jax.sharding Mesh over ICI; zero "
+                        "inter-chip traffic — each chip trains its own "
+                        "config slice). No-op on a single device")
     p.add_argument("--crossval_id", type=str, default="",
                    help="suffix for cross_val_{keys,values}<id>.npy "
                         "(reference train.py:140,159-165 id_ parameter; "
@@ -124,6 +129,12 @@ def main(argv=None):
     if crossval_load:
         values, keys = load_crossval(args.data_dir, id_=args.crossval_id)
     else:
+        mesh = None
+        if args.spmd_crossval and len(jax.devices()) > 1:
+            from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_dp=len(jax.devices()), n_mp=1)
+            print(f"crossval sharded over {mesh}")
         hypers = sample_hyperparams(args.crossval_size, seed=args.seed)
         t0 = time.time()
         values = cross_validate(
@@ -134,6 +145,7 @@ def main(argv=None):
             chunk=args.crossval_chunk,
             save_dir=args.data_dir,
             id_=args.crossval_id,
+            mesh=mesh,
         )
         print(f"crossval: {args.crossval_size} configs in {time.time() - t0:.1f}s")
         keys = keys_array(hypers, trainer.d_e)

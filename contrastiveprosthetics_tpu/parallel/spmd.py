@@ -138,3 +138,37 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
         return jax.device_put(tree, cfg_sharding_for(tree))
 
     return epoch_fn, place
+
+
+def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
+    """Config-sharded metrics-only validation: ``eval_fn(states, keys,
+    hypers) -> (losses, accs)`` with the config axis over ``dp``. Same
+    shard_map formulation (and rationale) as the sharded epoch."""
+    from jax import shard_map
+
+    vmapped = jax.vmap(
+        lambda s, k, h: trainer._evaluate_scalars(s, k, h, "val", batch_size),
+        in_axes=(0, 0, 0),
+    )
+    cfg_spec = P("dp")
+
+    def spec_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def eval_fn(states, keys, hypers):
+        fn = jax.jit(
+            shard_map(
+                vmapped,
+                mesh=mesh,
+                in_specs=(
+                    spec_like(states, cfg_spec),
+                    cfg_spec,
+                    spec_like(hypers, cfg_spec),
+                ),
+                out_specs=(cfg_spec, cfg_spec),
+                check_vma=False,
+            )
+        )
+        return fn(states, keys, hypers)
+
+    return eval_fn

@@ -72,9 +72,17 @@ def cross_validate(
     save_dir: Optional[str] = None,
     verbose: bool = True,
     id_: str = "",
+    mesh=None,
 ) -> np.ndarray:
     """Train all configs (vmapped, in chunks) and return values (n, 2) =
-    (val_loss, val_acc) per config."""
+    (val_loss, val_acc) per config.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the config
+    axis is then sharded over it (``parallel/spmd.py`` shard_map path), each
+    device training its own slice of configs with zero inter-chip traffic:
+    the natural multi-chip scale-out for this workload (SURVEY §5). Chunks
+    are padded up to a multiple of the ``dp`` size (pad rows repeat the
+    first config; their results are discarded)."""
     n = len(np.asarray(hypers.lr_emg))
     chunk = chunk or n
     emg_f, glove_f = schedule_factors(
@@ -83,36 +91,61 @@ def cross_validate(
     )
 
     vmapped_init = jax.jit(jax.vmap(trainer.init_state))
-    vmapped_epoch = jax.jit(
-        jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None)),
-    )
-    vmapped_eval = jax.jit(
-        jax.vmap(
-            lambda s, k, h: trainer._evaluate_scalars(
-                s, k, h, "val", trainer.batch_size
-            ),
-            in_axes=(0, 0, 0),
+    n_dp = 1
+    if mesh is not None:
+        from contrastiveprosthetics_tpu.parallel.spmd import (
+            make_sharded_crossval_epoch,
+            make_sharded_crossval_eval,
         )
-    )
+
+        n_dp = mesh.shape["dp"]
+        epoch_fn, place = make_sharded_crossval_epoch(trainer, mesh)
+        eval_fn = make_sharded_crossval_eval(trainer, mesh, trainer.batch_size)
+    else:
+        vmapped_epoch = jax.jit(
+            jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None)),
+        )
+        vmapped_eval = jax.jit(
+            jax.vmap(
+                lambda s, k, h: trainer._evaluate_scalars(
+                    s, k, h, "val", trainer.batch_size
+                ),
+                in_axes=(0, 0, 0),
+            )
+        )
 
     values = np.empty((n, 2), dtype=np.float64)
     for start in range(0, n, chunk):
         sl = slice(start, min(start + chunk, n))
         m = sl.stop - sl.start
-        h = Hyper(*[jnp.asarray(np.asarray(x)[sl]) for x in hypers])
+        pad = (-m) % n_dp  # shard_map needs the config axis divisible by dp
+        rows = np.arange(sl.start, sl.stop)
+        if pad:
+            rows = np.concatenate([rows, np.full(pad, sl.start)])
+        h = Hyper(*[jnp.asarray(np.asarray(x)[rows]) for x in hypers])
         k_chunk = jax.random.fold_in(key, start)
-        init_keys = jax.random.split(jax.random.fold_in(k_chunk, 0), m)
+        init_keys = jax.random.split(jax.random.fold_in(k_chunk, 0), m + pad)
         states = vmapped_init(init_keys)
+        if mesh is not None:
+            states = place(states)
         for e in range(epochs):
-            ep_keys = jax.random.split(jax.random.fold_in(k_chunk, 100 + e), m)
-            states, losses, accs = vmapped_epoch(
-                states, ep_keys, h,
-                jnp.float32(emg_f[e]), jnp.float32(glove_f[e]),
+            ep_keys = jax.random.split(
+                jax.random.fold_in(k_chunk, 100 + e), m + pad
             )
-        val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), m)
-        vl, va = vmapped_eval(states, val_keys, h)
-        values[sl, 0] = np.asarray(vl, np.float64)
-        values[sl, 1] = np.asarray(va, np.float64)
+            f_e, f_g = jnp.float32(emg_f[e]), jnp.float32(glove_f[e])
+            if mesh is not None:
+                states, losses, accs = epoch_fn(states, ep_keys, h, f_e, f_g)
+            else:
+                states, losses, accs = vmapped_epoch(
+                    states, ep_keys, h, f_e, f_g
+                )
+        val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), m + pad)
+        if mesh is not None:
+            vl, va = eval_fn(states, val_keys, h)
+        else:
+            vl, va = vmapped_eval(states, val_keys, h)
+        values[sl, 0] = np.asarray(vl, np.float64)[:m]
+        values[sl, 1] = np.asarray(va, np.float64)[:m]
         if verbose:
             print(
                 f"crossval [{sl.stop}/{n}]: best acc so far "

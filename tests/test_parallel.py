@@ -145,3 +145,28 @@ def test_config_sharded_crossval_epoch(trainer, hyper):
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(losses_ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_cross_validate_with_mesh_matches_unsharded(trainer, hyper):
+    """cross_validate(mesh=...) (the --spmd_crossval path) must reproduce
+    the unsharded sweep's values, including a config count that does NOT
+    divide the dp size (pad-and-discard)."""
+    from contrastiveprosthetics_tpu.train.crossval import (
+        cross_validate,
+        sample_hyperparams,
+    )
+
+    tr = Trainer(
+        CFG, trainer.store, adabn=False, batch_size=300, n_linear=2, hidden=64
+    )
+    h = sample_hyperparams(6, seed=5)  # 6 configs over dp=8 → pad 2
+    mesh = make_mesh(n_dp=8, n_mp=1)
+    v_sharded = cross_validate(
+        tr, h, epochs=1, key=jax.random.PRNGKey(9), verbose=False, mesh=mesh
+    )
+    v_plain = cross_validate(
+        tr, h, epochs=1, key=jax.random.PRNGKey(9), verbose=False
+    )
+    assert v_sharded.shape == (6, 2)
+    np.testing.assert_allclose(v_sharded[:, 0], v_plain[:, 0], rtol=1e-4)
+    np.testing.assert_allclose(v_sharded[:, 1], v_plain[:, 1], atol=1e-6)
