@@ -94,6 +94,39 @@ def main():
         p50 = float(np.percentile(lat, 50) * 1e3)
         print(f"serve: p50 per-tick latency {p50:.3f} ms "
               f"(budget 10 ms/tick)", file=sys.stderr)
+
+        # multi-session serving: one vmapped tick for S users per chip
+        from contrastiveprosthetics_tpu.serve.stream import (
+            BatchedStreamingEngine,
+        )
+
+        S = 64
+        batched = BatchedStreamingEngine(
+            cfg, model, variables,
+            emg_mean=np.zeros(cfg.emg_dim, np.float32),
+            emg_std=np.ones(cfg.emg_dim, np.float32),
+            n_sessions=S,
+        )
+        carries = batched.init_carries()
+        blocks = np.random.default_rng(1).standard_normal(
+            (S, cfg.factor, cfg.emg_dim)
+        ).astype(np.float32)
+        carries, p, v, _ = batched.step(carries, blocks)  # compile
+        jax.block_until_ready(p)
+        lat = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            carries, p, v, _ = batched.step(carries, blocks)
+            jax.block_until_ready(p)
+            lat.append(time.perf_counter() - t0)
+        p50b = float(np.percentile(lat, 50) * 1e3)
+        cap = int(S * 10.0 / p50b)  # sessions serveable inside the budget
+        print(
+            f"serve: {S} concurrent sessions p50 {p50b:.3f} ms/tick "
+            f"({p50b / S * 1e3:.1f} µs/session; ~{cap:,} sessions/chip at "
+            f"the 10 ms budget)",
+            file=sys.stderr,
+        )
     except Exception as e:
         print(f"serve bench skipped: {e}", file=sys.stderr)
 

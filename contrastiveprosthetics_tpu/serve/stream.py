@@ -233,3 +233,94 @@ class StreamingEngine:
             preds.append(int(p))
             votes.append(int(v))
         return np.asarray(preds), np.asarray(votes)
+
+
+class BatchedStreamingEngine:
+    """Multi-session serving: ONE jitted tick serves ``n_sessions``
+    prosthesis users concurrently on one chip.
+
+    Production shape: encoder parameters are shared across sessions while
+    BatchNorm running statistics are PER-SESSION (each user gets their own
+    ``calibrate_session`` — the online-AdaBN adaptation of
+    :meth:`StreamingEngine.calibrate`), and each session carries its own
+    DSP state, vote window, and grasp-subset mask. The per-tick step is the
+    single-session ``_tick`` vmapped over the session axis, so the MXU sees
+    one (S, d) GEMM per layer instead of S dispatches — per-session cost
+    amortizes to microseconds.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        model: ContrastiveModel,
+        variables: dict,
+        emg_mean: np.ndarray,
+        emg_std: np.ndarray,
+        n_sessions: int,
+        glove_prototypes: Optional[np.ndarray] = None,
+    ):
+        self.n_sessions = n_sessions
+        self._single = StreamingEngine(
+            cfg, model, variables, emg_mean, emg_std, glove_prototypes
+        )
+        self.cfg = cfg
+        # shared params; per-session batch_stats (initialized identical)
+        stack = lambda x: jnp.broadcast_to(x, (n_sessions,) + x.shape)
+        self._params = jax.device_put(
+            {k: v for k, v in variables.items() if k != "batch_stats"}
+        )
+        self._batch_stats = jax.device_put(
+            jax.tree_util.tree_map(stack, variables.get("batch_stats", {}))
+        )
+        var_axes = {k: None for k in variables if k != "batch_stats"}
+        var_axes["batch_stats"] = 0
+        self._step = jax.jit(
+            jax.vmap(
+                self._single._tick,
+                in_axes=(0, 0, 0, var_axes, None, None, None, None),
+            ),
+            donate_argnums=(0,),
+        )
+
+    def init_carries(self) -> StreamCarry:
+        one = self._single.init_carry()
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.n_sessions,) + x.shape), one
+        )
+
+    def calibrate_session(self, i: int, raw_recording: np.ndarray) -> None:
+        """Re-estimate session ``i``'s BN statistics from its own
+        calibration recording (online AdaBN, per user)."""
+        base = dict(self._params)
+        base["batch_stats"] = jax.tree_util.tree_map(
+            lambda x: x[i], self._batch_stats
+        )
+        solo = StreamingEngine(
+            self.cfg, self._single.model, base,
+            np.asarray(self._single._mean), np.asarray(self._single._std),
+        )
+        solo.calibrate(raw_recording)
+        new_stats = solo.variables["batch_stats"]
+        self._batch_stats = jax.tree_util.tree_map(
+            lambda all_, new: all_.at[i].set(new), self._batch_stats, new_stats
+        )
+
+    def step(self, carries: StreamCarry, raw_blocks, subset_masks=None):
+        """``raw_blocks``: (n_sessions, factor, emg_dim); ``subset_masks``:
+        (n_sessions, n_classes) bool or None (all classes). Returns
+        (carries, per-frame preds (S,), vote preds (S,), scores (S, C))."""
+        C = self._single._class_emb.shape[0]
+        if subset_masks is None:
+            subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)
+        variables = dict(self._params)
+        variables["batch_stats"] = self._batch_stats
+        return self._step(
+            carries,
+            jnp.asarray(raw_blocks, jnp.float32),
+            jnp.asarray(subset_masks),
+            variables,
+            self._single._dev_class_emb,
+            self._single._sos,
+            self._single._mean,
+            self._single._std,
+        )

@@ -109,3 +109,65 @@ def test_calibrate_adapts_bn_stats(engine, rng):
     assert not np.allclose(
         np.asarray(scores_before), np.asarray(scores_after), atol=1e-6
     )
+
+
+def test_batched_engine_matches_single_sessions(engine, rng):
+    """BatchedStreamingEngine (one vmapped tick for S sessions) must produce
+    exactly what S independent single-session engines produce."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    S, n_blocks = 3, 6
+    batched = BatchedStreamingEngine(
+        CFG, engine.model, engine.variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S,
+    )
+    raws = rng.standard_normal((S, n_blocks * CFG.factor, 12)).astype(np.float32)
+    masks = np.ones((S, CFG.max_tasks), bool)
+    masks[1, 20:] = False  # session 1 restricts its grasp subset
+
+    carries = batched.init_carries()
+    batched_votes = []
+    for b in range(n_blocks):
+        blocks = raws[:, b * CFG.factor : (b + 1) * CFG.factor]
+        carries, preds, votes, scores = batched.step(carries, blocks, masks)
+        batched_votes.append(np.asarray(votes))
+    batched_votes = np.stack(batched_votes, axis=1)  # (S, n_blocks)
+
+    for s in range(S):
+        _, votes_s = engine.run(raws[s], subset_mask=masks[s])
+        np.testing.assert_array_equal(batched_votes[s], votes_s)
+    # the restricted session never predicts outside its subset
+    assert (batched_votes[1] < 20).all()
+
+
+def test_batched_per_session_calibration_is_isolated(engine, rng):
+    """calibrate_session(i) must change session i's outputs and ONLY
+    session i's (per-user AdaBN statistics are independent)."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    S = 2
+    batched = BatchedStreamingEngine(
+        CFG, engine.model, engine.variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S,
+    )
+    raw = rng.standard_normal((4 * CFG.factor, 12)).astype(np.float32)
+
+    def scores_now():
+        carries = batched.init_carries()
+        _, _, _, scores = batched.step(
+            carries, np.stack([raw[: CFG.factor]] * S)
+        )
+        return np.asarray(scores)
+
+    before = scores_now()
+    np.testing.assert_allclose(before[0], before[1], rtol=1e-6)
+
+    calib = (rng.standard_normal((3000, 12)) * 5 + 2).astype(np.float32)
+    batched.calibrate_session(1, calib)
+    after = scores_now()
+    np.testing.assert_allclose(after[0], before[0], rtol=1e-6)  # untouched
+    assert np.abs(after[1] - before[1]).max() > 1e-4  # adapted
