@@ -42,7 +42,7 @@ def main():
     # compiles go through a remote compile service and take 1-15 min cold
     from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache(".jax_cache_tpu")
+    enable_persistent_cache()  # .jax_cache_tpu / _cpu by active backend
 
     import jax
     import jax.numpy as jnp
@@ -94,8 +94,13 @@ def main():
         p50 = float(np.percentile(lat, 50) * 1e3)
         print(f"serve: p50 per-tick latency {p50:.3f} ms "
               f"(budget 10 ms/tick)", file=sys.stderr)
+    except Exception as e:
+        print(f"serve bench skipped: {e}", file=sys.stderr)
 
-        # multi-session serving: one vmapped tick for S users per chip
+    # multi-session serving: one vmapped tick for S users per chip.
+    # Own try-block: a regression here must not be masked by (or mask) the
+    # single-session serve bench.
+    try:
         from contrastiveprosthetics_tpu.serve.stream import (
             BatchedStreamingEngine,
         )
@@ -128,7 +133,7 @@ def main():
             file=sys.stderr,
         )
     except Exception as e:
-        print(f"serve bench skipped: {e}", file=sys.stderr)
+        print(f"multi-session serve bench skipped: {e}", file=sys.stderr)
 
     emg, pos, glove = make_processed_dataset(cfg)  # full 46-person geometry
     store = DeviceStore(cfg, emg, pos, glove, device=dev)
@@ -144,7 +149,8 @@ def main():
     n_epochs = 5
     ones = np.ones(n_epochs, np.float32)
     state, losses, _ = trainer.train_epochs(
-        state, jax.random.fold_in(key, 0), hyper, ones, ones
+        state, jax.random.split(jax.random.fold_in(key, 0), n_epochs),
+        hyper, ones, ones
     )
     jax.block_until_ready(losses)
 
@@ -152,7 +158,8 @@ def main():
     # — one dispatch for the whole lax.scan-over-epochs program ---
     t0 = time.perf_counter()
     state, losses, _ = trainer.train_epochs(
-        state, jax.random.fold_in(key, 1), hyper, ones, ones
+        state, jax.random.split(jax.random.fold_in(key, 1), n_epochs),
+        hyper, ones, ones
     )
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
@@ -208,7 +215,10 @@ def main_with_retry():
 
     try:
         main()
-    except Exception as e:  # noqa: BLE001 — any backend error is retryable
+    except RuntimeError as e:
+        # jax.errors.JaxRuntimeError (FAILED_PRECONDITION tunnel drops)
+        # subclasses RuntimeError; deterministic failures (ImportError,
+        # assertion, bad JSON) fail fast instead of burning a retry
         if os.environ.get("CPTPU_BENCH_RETRY") == "1":
             raise
         print(f"bench attempt failed ({type(e).__name__}: {e}); "

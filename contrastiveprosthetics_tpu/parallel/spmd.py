@@ -116,23 +116,30 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
     def spec_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
 
+    # the jitted wrapper is built ONCE (on first call, when the arg pytree
+    # structures are known) and reused — a fresh jax.jit per call would
+    # carry a fresh trace cache and re-trace the whole epoch program on
+    # every invocation
+    cache = {}
+
     def epoch_fn(states, keys, hypers, f_e, f_g):
-        fn = jax.jit(
-            shard_map(
-                vmapped,
-                mesh=mesh,
-                in_specs=(
-                    spec_like(states, cfg_spec),
-                    cfg_spec,
-                    spec_like(hypers, cfg_spec),
-                    rep_spec,
-                    rep_spec,
-                ),
-                out_specs=(spec_like(states, cfg_spec), cfg_spec, cfg_spec),
-                check_vma=False,
+        if "fn" not in cache:
+            cache["fn"] = jax.jit(
+                shard_map(
+                    vmapped,
+                    mesh=mesh,
+                    in_specs=(
+                        spec_like(states, cfg_spec),
+                        cfg_spec,
+                        spec_like(hypers, cfg_spec),
+                        rep_spec,
+                        rep_spec,
+                    ),
+                    out_specs=(spec_like(states, cfg_spec), cfg_spec, cfg_spec),
+                    check_vma=False,
+                )
             )
-        )
-        return fn(states, keys, hypers, f_e, f_g)
+        return cache["fn"](states, keys, hypers, f_e, f_g)
 
     def place(tree):
         return jax.device_put(tree, cfg_sharding_for(tree))
@@ -155,20 +162,23 @@ def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
     def spec_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
 
+    cache = {}  # build the jitted wrapper once — see make_sharded_crossval_epoch
+
     def eval_fn(states, keys, hypers):
-        fn = jax.jit(
-            shard_map(
-                vmapped,
-                mesh=mesh,
-                in_specs=(
-                    spec_like(states, cfg_spec),
-                    cfg_spec,
-                    spec_like(hypers, cfg_spec),
-                ),
-                out_specs=(cfg_spec, cfg_spec),
-                check_vma=False,
+        if "fn" not in cache:
+            cache["fn"] = jax.jit(
+                shard_map(
+                    vmapped,
+                    mesh=mesh,
+                    in_specs=(
+                        spec_like(states, cfg_spec),
+                        cfg_spec,
+                        spec_like(hypers, cfg_spec),
+                    ),
+                    out_specs=(cfg_spec, cfg_spec),
+                    check_vma=False,
+                )
             )
-        )
-        return fn(states, keys, hypers)
+        return cache["fn"](states, keys, hypers)
 
     return eval_fn

@@ -308,7 +308,13 @@ class BatchedStreamingEngine:
     def step(self, carries: StreamCarry, raw_blocks, subset_masks=None):
         """``raw_blocks``: (n_sessions, factor, emg_dim); ``subset_masks``:
         (n_sessions, n_classes) bool or None (all classes). Returns
-        (carries, per-frame preds (S,), vote preds (S,), scores (S, C))."""
+        (carries, per-frame preds (S,), vote preds (S,), scores (S, C)).
+
+        ``carries`` is DONATED (its buffers are consumed in place, like the
+        single-session ``step``): always thread the returned carries
+        forward and never reuse a carries value after passing it in — keep
+        a copy (``jax.tree_util.tree_map(jnp.copy, carries)``) if you need
+        to replay a tick."""
         C = self._single._class_emb.shape[0]
         if subset_masks is None:
             subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)

@@ -276,34 +276,35 @@ class Trainer:
             jnp.float32(lr_emg_factor), jnp.float32(lr_glove_factor),
         )
 
-    def _train_epochs(self, state: TrainState, key: jax.Array, hyper: Hyper,
+    def _train_epochs(self, state: TrainState, keys: jax.Array, hyper: Hyper,
                       emg_factors, glove_factors):
         """A whole multi-epoch run as ONE jitted program: ``lax.scan`` over
-        epochs with the per-epoch schedule factors (train/schedules.py) as
-        scanned arrays. Amortizes per-epoch dispatch — material on
-        remote-attached TPUs where each dispatch costs ~ms against a ~40 ms
-        epoch. Used by train_loop when no per-epoch host work (verbose
-        printing / checkpoint-on-val) is requested."""
+        epochs with per-epoch keys and the schedule factors
+        (train/schedules.py) as scanned arrays. Amortizes per-epoch
+        dispatch — material on remote-attached TPUs where each dispatch
+        costs ~ms against a ~40 ms epoch. Used by train_loop when no
+        per-epoch host work (verbose printing / checkpoint-on-val) is
+        requested; the caller supplies the per-epoch keys so the fused and
+        sequential paths share one RNG stream."""
         def body(carry, xs):
             k, f_e, f_g = xs
             new_state, loss, acc = self._train_epoch(carry, k, hyper, f_e, f_g)
             return new_state, (loss, acc)
 
-        keys = jax.random.split(key, emg_factors.shape[0])
         state, (losses, accs) = jax.lax.scan(
             body, state, (keys, emg_factors, glove_factors)
         )
         return state, losses, accs
 
-    def train_epochs(self, state, key, hyper, emg_factors, glove_factors):
-        """Run len(emg_factors) epochs in one dispatch; returns
-        (state, per-epoch losses, per-epoch accs)."""
+    def train_epochs(self, state, keys, hyper, emg_factors, glove_factors):
+        """Run len(emg_factors) epochs in one dispatch; ``keys`` is one PRNG
+        key per epoch. Returns (state, per-epoch losses, per-epoch accs)."""
         if self._train_epochs_jit is None:
             self._train_epochs_jit = jax.jit(
                 self._train_epochs, donate_argnums=(0,)
             )
         return self._train_epochs_jit(
-            state, key, hyper,
+            state, keys, hyper,
             jnp.asarray(emg_factors, jnp.float32),
             jnp.asarray(glove_factors, jnp.float32),
         )

@@ -13,6 +13,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from contrastiveprosthetics_tpu.train.checkpoint import save_checkpoint
 from contrastiveprosthetics_tpu.train.engine import EvalResult, Hyper, Trainer
@@ -50,10 +51,16 @@ def train_loop(
     if not verbose and not checkpoint and epochs > 1:
         # no per-epoch host work → the whole run is ONE device dispatch
         # (engine.train_epochs: lax.scan over epochs), then the reference's
-        # single end-of-run validation (train.py:131-136)
-        key, k_ep, k_val = jax.random.split(key, 3)
+        # single end-of-run validation (train.py:131-136). Keys are derived
+        # with the EXACT chain of the sequential loop below, so the same
+        # seed trains the same weights regardless of verbose/checkpoint.
+        ep_keys = []
+        k_val = key
+        for _ in range(epochs):
+            key, k_ep, k_val = jax.random.split(key, 3)
+            ep_keys.append(k_ep)
         state, losses, accs = trainer.train_epochs(
-            state, k_ep, hyper, emg_f, glove_f
+            state, jnp.stack(ep_keys), hyper, emg_f, glove_f
         )
         res = trainer.evaluate(state, k_val, hyper, split="val")
         return LoopResult(

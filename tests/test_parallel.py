@@ -116,10 +116,9 @@ def test_sharded_step_matches_single_device(trainer, hyper):
 
 def test_config_sharded_crossval_epoch(trainer, hyper):
     """The config-sharded epoch executes on the 8-device mesh AND equals the
-    single-device vmapped epoch. Narrow model (n_linear=3, hidden=128):
-    GSPMD-through-vmap of the full 7×512 MLP is a pathological multi-hour
-    XLA:CPU compile on this box; the sharding semantics being tested are
-    width-independent."""
+    single-device vmapped epoch. Narrow model (n_linear=2, hidden=64):
+    XLA:CPU executes/compiles wide models pathologically slowly here; the
+    sharding semantics being tested are width-independent."""
     mesh = make_mesh(n_dp=8, n_mp=1)
     # batch_size=D → the epoch scan has ONE step, keeping the (expensive)
     # GSPMD-through-vmap CPU compile small

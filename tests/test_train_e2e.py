@@ -197,12 +197,12 @@ def test_multi_epoch_scan_matches_sequential_epochs(store, hyper):
     )
     key = jax.random.PRNGKey(7)
     factors = np.array([1.0, 0.5], np.float32)
+    keys = jax.random.split(key, 2)
 
     s0 = trainer.init_state(jax.random.PRNGKey(8))
-    s_scan, losses, accs = trainer.train_epochs(s0, key, hyper, factors, factors)
+    s_scan, losses, accs = trainer.train_epochs(s0, keys, hyper, factors, factors)
 
     s_seq = trainer.init_state(jax.random.PRNGKey(8))
-    keys = jax.random.split(key, 2)
     seq_losses = []
     for i in range(2):
         s_seq, loss, acc = trainer.train_epoch(
@@ -220,3 +220,33 @@ def test_multi_epoch_scan_matches_sequential_epochs(store, hyper):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_train_loop_rng_invariant_to_verbose_flag(store, hyper, capsys):
+    """The same seed must train the same weights whether train_loop takes
+    the fused single-dispatch path (verbose=False) or the per-epoch host
+    loop (verbose=True) — the key chains are derived identically."""
+    from contrastiveprosthetics_tpu.train.loop import train_loop
+
+    trainer = Trainer(
+        CFG, store, adabn=False, batch_size=8, n_linear=2, hidden=64
+    )
+    r_quiet = train_loop(
+        trainer, hyper, epochs=2, key=jax.random.PRNGKey(21),
+        annealing=True, verbose=False,
+    )
+    r_loud = train_loop(
+        trainer, hyper, epochs=2, key=jax.random.PRNGKey(21),
+        annealing=True, verbose=True,
+    )
+    capsys.readouterr()
+    np.testing.assert_allclose(
+        np.asarray(r_quiet.train_losses), np.asarray(r_loud.train_losses),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(r_quiet.val_loss, r_loud.val_loss, rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r_quiet.state.params),
+        jax.tree_util.tree_leaves(r_loud.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
