@@ -250,3 +250,28 @@ def test_train_loop_rng_invariant_to_verbose_flag(store, hyper, capsys):
         jax.tree_util.tree_leaves(r_loud.state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_mixed_precision_trains(store, hyper):
+    """--bf16 path: encoder GEMMs in bfloat16 while params/opt state stay
+    float32 (mixed precision), training still learns, and outputs are f32."""
+    trainer = Trainer(
+        CFG, store, adabn=False, batch_size=100, n_linear=2, hidden=64,
+        compute_dtype="bfloat16",
+    )
+    state = trainer.init_state(jax.random.PRNGKey(30))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32  # master weights stay f32
+    losses = []
+    for e in range(3):
+        state, loss, acc = trainer.train_epoch(
+            state, jax.random.fold_in(jax.random.PRNGKey(31), e), hyper
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # separable data: must learn in bf16 too
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    res = trainer.evaluate(state, jax.random.PRNGKey(32), hyper, split="val")
+    assert res.logits.dtype == jnp.float32
+    assert np.isfinite(float(res.loss))
