@@ -185,11 +185,94 @@ def main():
     eval_wps = reps * eval_windows / (time.perf_counter() - t0)
     print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline)", file=sys.stderr)
 
+    # --- crossval sweep throughput (the vmapped 150-config random search,
+    # one dispatch per chunk — train/crossval.py). A/B the fused Pallas
+    # loss at SWEEP geometry (N = configs × batch items), where skipping
+    # the HBM logits round-trip matters most (VERDICT r1 #4). ---
+    sweep_out = {}
+    try:
+        from contrastiveprosthetics_tpu.train.crossval import (
+            cross_validate,
+            sample_hyperparams,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        n_cfg = 150 if on_tpu else 4   # CPU: smoke-scale only
+        sweep_epochs = 1
+        hypers = sample_hyperparams(n_cfg, seed=7)
+        sweep_windows = n_cfg * sweep_epochs * v.D * v.n_tasks
+        ab = {}
+        for label, use_pallas in (("pallas", True), ("xla", False)):
+            if use_pallas and not on_tpu:
+                continue
+            tr_s = Trainer(
+                cfg, store, adabn=False, batch_size=8,
+                use_pallas_loss=use_pallas,
+            )
+            kw = dict(
+                trainer=tr_s, hypers=hypers, epochs=sweep_epochs,
+                key=jax.random.fold_in(key, 7), verbose=False,
+            )
+            cross_validate(**kw)          # compile + warm
+            t0 = time.perf_counter()
+            cross_validate(**kw)          # steady state
+            ab[label] = sweep_windows / (time.perf_counter() - t0)
+            print(f"sweep[{label}]: {n_cfg} cfgs × {sweep_epochs} ep → "
+                  f"{ab[label]:,.0f} windows/s", file=sys.stderr)
+        best_label = max(ab, key=ab.get)
+        sweep_wps = ab[best_label]
+        sweep_out = {
+            "crossval_sweep_windows_per_sec": round(sweep_wps, 1),
+            "sweep_configs": n_cfg,
+            "sweep_loss_impl": best_label,
+            "sweep_ab": {k: round(v_, 1) for k, v_ in ab.items()},
+        }
+    except Exception as e:
+        print(f"sweep bench skipped: {e}", file=sys.stderr)
+
+    # --- MFU (utils/flops.py): achieved FLOP/s vs the chip's bf16 peak ---
+    from contrastiveprosthetics_tpu.utils.flops import (
+        emg_forward_flops_per_window,
+        mfu,
+        peak_flops,
+        train_flops_per_window,
+    )
+
+    kind = dev.device_kind
+    peaks = peak_flops(kind)
+    f_fwd = emg_forward_flops_per_window()
+    f_train = train_flops_per_window()
+    mfu_out = {
+        "device_kind": kind,
+        "flops_per_window_fwd": f_fwd,
+        "flops_per_window_train": f_train,
+        "peak_bf16_flops": peaks["bf16"],
+        "train_tflops": round(train_wps * f_train / 1e12, 2),
+        "mfu_train": round(mfu(train_wps, f_train, kind)["mfu_bf16"], 4),
+        "eval_windows_per_sec": round(eval_wps, 1),
+        "eval_tflops": round(eval_wps * f_fwd / 1e12, 2),
+        "mfu_eval": round(mfu(eval_wps, f_fwd, kind)["mfu_bf16"], 4),
+    }
+    if sweep_out:
+        sweep_wps = sweep_out["crossval_sweep_windows_per_sec"]
+        mfu_out["sweep_tflops"] = round(sweep_wps * f_train / 1e12, 2)
+        mfu_out["mfu_sweep"] = round(
+            mfu(sweep_wps, f_train, kind)["mfu_bf16"], 4
+        )
+    print(
+        f"mfu: train {mfu_out['mfu_train']:.1%} "
+        f"({mfu_out['train_tflops']} TFLOP/s), eval {mfu_out['mfu_eval']:.1%}"
+        + (f", sweep {mfu_out.get('mfu_sweep', 0):.1%}" if sweep_out else ""),
+        file=sys.stderr,
+    )
+
     out = {
         "metric": "semg_train_windows_per_sec_per_chip",
         "value": round(train_wps, 1),
         "unit": "windows/s",
         "vs_baseline": round(train_wps / REFERENCE_BASELINE_WPS, 2),
+        **sweep_out,
+        **mfu_out,
     }
     try:
         import pathlib
@@ -216,16 +299,24 @@ def main_with_retry():
     try:
         main()
     except RuntimeError as e:
-        # jax.errors.JaxRuntimeError (FAILED_PRECONDITION tunnel drops)
-        # subclasses RuntimeError; deterministic failures (ImportError,
-        # assertion, bad JSON) fail fast instead of burning a retry
-        if os.environ.get("CPTPU_BENCH_RETRY") == "1":
+        # Only transient tunnel drops warrant a retry: jax surfaces them as
+        # JaxRuntimeError with FAILED_PRECONDITION / UNAVAILABLE status.
+        # Deterministic failures (shape errors, OOM, ImportError, assertion)
+        # fail fast instead of burning a 120 s sleep + full re-run.
+        import jax.errors
+
+        transient = isinstance(e, jax.errors.JaxRuntimeError) and any(
+            tag in str(e) for tag in ("FAILED_PRECONDITION", "UNAVAILABLE",
+                                      "DEADLINE_EXCEEDED")
+        )
+        if not transient or os.environ.get("CPTPU_BENCH_RETRY") == "1":
             raise
         print(f"bench attempt failed ({type(e).__name__}: {e}); "
               f"re-executing in 120 s", file=sys.stderr)
         time.sleep(120)
         os.environ["CPTPU_BENCH_RETRY"] = "1"
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+        # re-exec with the original argv so future flags survive the retry
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 if __name__ == "__main__":

@@ -47,45 +47,6 @@ def make_sharded_train_step(trainer: Trainer, mesh):
     return step, place_state
 
 
-def make_sharded_crossval_step(trainer: Trainer, mesh):
-    """Config-sharded single optimization step: ``step(states, emg_b,
-    glove_b, hypers, lr_e, lr_g, keys)`` with the leading config axis of
-    states/batches/hypers/keys sharded over ``dp``. The cheap-to-compile
-    demonstration of the crossval scale-out (the full sharded epoch lives in
-    ``make_sharded_crossval_epoch``)."""
-
-    def cfg_sharding_for(tree):
-        return jax.tree_util.tree_map(
-            lambda leaf: NamedSharding(
-                mesh, P(*(("dp",) + (None,) * (max(leaf.ndim, 1) - 1)))
-            ),
-            tree,
-        )
-
-    vmapped = jax.vmap(trainer._sgd_step, in_axes=(0, 0, 0, 0, None, None, 0))
-
-    def step(states, emg_b, glove_b, hypers, lr_e, lr_g, keys):
-        st_sh = cfg_sharding_for(states)
-        rep = replicated(mesh)
-        fn = jax.jit(
-            vmapped,
-            in_shardings=(
-                st_sh,
-                cfg_sharding_for(emg_b),
-                cfg_sharding_for(glove_b),
-                cfg_sharding_for(hypers),
-                rep,
-                rep,
-                cfg_sharding_for(keys),
-            ),
-            out_shardings=(st_sh, NamedSharding(mesh, P("dp")),
-                           NamedSharding(mesh, P("dp"))),
-        )
-        return fn(states, emg_b, glove_b, hypers, lr_e, lr_g, keys)
-
-    return step
-
-
 def make_sharded_crossval_epoch(trainer: Trainer, mesh):
     """Returns (epoch_fn, place): ``epoch_fn(states, keys, hypers, f_e,
     f_g)`` with the leading config axis of every argument sharded over
@@ -116,15 +77,18 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
     def spec_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
 
-    # the jitted wrapper is built ONCE (on first call, when the arg pytree
-    # structures are known) and reused — a fresh jax.jit per call would
-    # carry a fresh trace cache and re-trace the whole epoch program on
-    # every invocation
+    # the jitted wrapper is built ONCE per arg-pytree structure and reused —
+    # a fresh jax.jit per call would carry a fresh trace cache and re-trace
+    # the whole epoch program every invocation. Keyed on tree structure
+    # (not a single slot) so a structurally different states/hypers tree
+    # (e.g. another trainer reusing this closure) gets its own correctly
+    # specced program instead of mis-sharding under check_vma=False.
     cache = {}
 
     def epoch_fn(states, keys, hypers, f_e, f_g):
-        if "fn" not in cache:
-            cache["fn"] = jax.jit(
+        sig = jax.tree_util.tree_structure((states, hypers))
+        if sig not in cache:
+            cache[sig] = jax.jit(
                 shard_map(
                     vmapped,
                     mesh=mesh,
@@ -139,12 +103,72 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
                     check_vma=False,
                 )
             )
-        return cache["fn"](states, keys, hypers, f_e, f_g)
+        return cache[sig](states, keys, hypers, f_e, f_g)
 
     def place(tree):
         return jax.device_put(tree, cfg_sharding_for(tree))
 
     return epoch_fn, place
+
+
+def make_sharded_crossval_run(trainer: Trainer, mesh, val_batch_size: int):
+    """Returns (run_fn, place): the WHOLE sweep chunk — init states already
+    placed, every epoch, final validation — as one sharded program:
+    ``run_fn(states, ep_keys, val_keys, hypers, emg_factors, glove_factors)
+    -> (val_losses, val_accs)`` with the leading config axis sharded over
+    ``dp``. Same shard_map formulation (and GSPMD-partitioner rationale) as
+    ``make_sharded_crossval_epoch``, but one dispatch per chunk instead of
+    one per epoch."""
+    from jax import shard_map
+
+    def cfg_sharding_for(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: NamedSharding(
+                mesh, P(*(("dp",) + (None,) * (leaf.ndim - 1)))
+            ),
+            tree,
+        )
+
+    vmapped = jax.vmap(
+        lambda s, ek, vk, h, fe, fg: trainer._sweep_run(
+            s, ek, vk, h, fe, fg, val_batch_size
+        ),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+
+    cfg_spec = P("dp")
+    rep_spec = P()
+
+    def spec_like(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    cache = {}  # keyed per pytree structure — see make_sharded_crossval_epoch
+
+    def run_fn(states, ep_keys, val_keys, hypers, f_e, f_g):
+        sig = jax.tree_util.tree_structure((states, hypers))
+        if sig not in cache:
+            cache[sig] = jax.jit(
+                shard_map(
+                    vmapped,
+                    mesh=mesh,
+                    in_specs=(
+                        spec_like(states, cfg_spec),
+                        cfg_spec,
+                        cfg_spec,
+                        spec_like(hypers, cfg_spec),
+                        rep_spec,
+                        rep_spec,
+                    ),
+                    out_specs=(cfg_spec, cfg_spec),
+                    check_vma=False,
+                )
+            )
+        return cache[sig](states, ep_keys, val_keys, hypers, f_e, f_g)
+
+    def place(tree):
+        return jax.device_put(tree, cfg_sharding_for(tree))
+
+    return run_fn, place
 
 
 def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
@@ -162,11 +186,13 @@ def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
     def spec_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
 
-    cache = {}  # build the jitted wrapper once — see make_sharded_crossval_epoch
+    # keyed per pytree structure — see make_sharded_crossval_epoch
+    cache = {}
 
     def eval_fn(states, keys, hypers):
-        if "fn" not in cache:
-            cache["fn"] = jax.jit(
+        sig = jax.tree_util.tree_structure((states, hypers))
+        if sig not in cache:
+            cache[sig] = jax.jit(
                 shard_map(
                     vmapped,
                     mesh=mesh,
@@ -179,6 +205,6 @@ def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
                     check_vma=False,
                 )
             )
-        return cache["fn"](states, keys, hypers)
+        return cache[sig](states, keys, hypers)
 
     return eval_fn

@@ -39,7 +39,6 @@ from contrastiveprosthetics_tpu.train.loss import (
     prediction_accuracy,
     prediction_loss,
     prediction_loss_per_item,
-    prediction_vote_accuracy,
     symmetric_contrastive_loss,
     symmetric_contrastive_loss_per_item,
 )
@@ -286,6 +285,15 @@ class Trainer:
         per-epoch host work (verbose printing / checkpoint-on-val) is
         requested; the caller supplies the per-epoch keys so the fused and
         sequential paths share one RNG stream."""
+        if keys.shape[0] == 1:
+            # single epoch (common for --crossval_epochs=1): skip the scan —
+            # identical semantics, and XLA:CPU runs sizeable scan bodies
+            # ~20× slower than straight-line code (see _train_epoch)
+            state, loss, acc = self._train_epoch(
+                state, keys[0], hyper, emg_factors[0], glove_factors[0]
+            )
+            return state, loss[None], acc[None]
+
         def body(carry, xs):
             k, f_e, f_g = xs
             new_state, loss, acc = self._train_epoch(carry, k, hyper, f_e, f_g)
@@ -307,6 +315,24 @@ class Trainer:
             state, keys, hyper,
             jnp.asarray(emg_factors, jnp.float32),
             jnp.asarray(glove_factors, jnp.float32),
+        )
+
+    def _sweep_run(self, state: TrainState, ep_keys: jax.Array,
+                   val_key: jax.Array, hyper: Hyper, emg_factors,
+                   glove_factors, val_batch_size: int):
+        """One config's ENTIRE crossval run — every epoch (``_train_epochs``
+        scan) plus the final metrics-only validation — as one traceable
+        function. ``train/crossval.py`` vmaps this over the config axis and
+        jits once, so a whole sweep chunk (init → E epochs → val for all
+        configs) is a SINGLE XLA dispatch: no per-epoch host round-trips,
+        and the MXU sees every GEMM batched configs× (the treatment
+        ``train_epochs`` gives single runs, applied to the sweep —
+        VERDICT r1 next-round #2). Returns (val_loss, val_acc)."""
+        state, _, _ = self._train_epochs(
+            state, ep_keys, hyper, emg_factors, glove_factors
+        )
+        return self._evaluate_scalars(
+            state, val_key, hyper, "val", val_batch_size
         )
 
     # ------------------------------------------------------------------ eval

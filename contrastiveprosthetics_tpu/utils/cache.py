@@ -20,7 +20,12 @@ def enable_persistent_cache(subdir: str | None = None) -> str:
     ``.jax_cache_tpu`` / ``.jax_cache_cpu`` by active backend, so CLI runs
     share the cache bench.py / the test conftest already warmed. Call
     before the first compile; safe to call repeatedly or after jax import
-    (the config API is required — jax 0.9.0 ignores the env vars)."""
+    (the config API is required — jax 0.9.0 ignores the env vars).
+
+    Picking the default subdir probes ``jax.default_backend()``, which
+    initializes the backend — every CLI therefore calls this only AFTER
+    argparse succeeds, so ``--help``/usage-error runs never pay backend
+    init (several seconds on the remote-attached TPU stack)."""
     import jax
 
     if subdir is None:
