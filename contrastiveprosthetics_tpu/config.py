@@ -25,6 +25,11 @@ Quirk ledger (each reproduced behind a compat flag, default = fixed):
     recomputes the per-channel std, ignoring the flag (the shipped
     ``emg_mean.npy`` is shape ``()`` while ``emg_std.npy`` is ``(12,)``).
     We reproduce exactly that pairing when the flag is set.
+  * ``compat_checkpoint_on_max`` — reference ``train.py:122-126`` saves the
+    checkpoint whenever ``loss_val <= max(val_losses so far)`` — *max*, so
+    nearly every epoch overwrites the "best" checkpoint and the weights that
+    reach test are close to last-epoch weights. Default here: checkpoint on
+    val-loss *improvement* (``<= min``). Compat: the reference's max rule.
   * ``compat_full_voting_bound`` — the reference's *current* voting loop
     (``models.py:153``) iterates ``range(1, PREDICTION_WINDOW)`` = 249
     prefix columns, where every column past the 25-frame window just
@@ -108,6 +113,7 @@ class Config:
     compat_shared_steplr: bool = False
     compat_complete_stats: bool = False
     compat_full_voting_bound: bool = False
+    compat_checkpoint_on_max: bool = False
 
     # ------------------------------------------------------------------ derived
     @property
@@ -267,6 +273,7 @@ def compat_config(cfg: Config = DEFAULT_CONFIG) -> Config:
         compat_shared_steplr=True,
         compat_complete_stats=True,
         compat_full_voting_bound=True,
+        compat_checkpoint_on_max=True,
     )
 
 

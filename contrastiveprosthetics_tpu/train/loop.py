@@ -2,10 +2,11 @@
 ``train.py:27-138``): Python drives epochs; each epoch body is the jitted
 device program from the engine.
 
-Checkpoint rule is the reference's literal one: save whenever
-``loss_val <= max(val_losses so far)`` (train.py:122 — note *max*, which
-checkpoints nearly every epoch; kept for parity, it determines which epoch's
-weights reach test).
+Checkpoint rule (quirk ledger, config.py): default saves on val-loss
+*improvement* (``loss_val <= min(val_losses)``); with
+``compat_checkpoint_on_max`` it reproduces the reference's literal
+``loss_val <= max(val_losses so far)`` (train.py:122-126 — *max*, which
+checkpoints nearly every epoch, so near-last-epoch weights reach test).
 """
 from __future__ import annotations
 
@@ -82,7 +83,9 @@ def train_loop(
         train_losses.append(float(loss_t))
         train_accs.append(float(acc_t))
 
-        if verbose or e == epochs - 1:
+        # checkpointing needs a per-epoch val signal (train.py:110-126
+        # validates every epoch); without it only the last epoch is scored
+        if verbose or checkpoint or e == epochs - 1:
             res = trainer.evaluate(state, k_val, hyper, split="val")
             loss_val, acc_val = float(res.loss), float(res.accuracy)
             val_losses.append(loss_val)
@@ -92,7 +95,8 @@ def train_loop(
                     f"Val loss: {loss_val:.4f}\tVal acc: {acc_val:.6f}\t"
                     f"Train acc: {train_accs[-1]:.4f}"
                 )
-        if checkpoint and val_losses and loss_val <= max(val_losses):
+        threshold = max if trainer.cfg.compat_checkpoint_on_max else min
+        if checkpoint and val_losses and loss_val <= threshold(val_losses):
             if checkpoint_path:
                 save_checkpoint(checkpoint_path, state)
 

@@ -30,6 +30,7 @@ def hyper():
     )
 
 
+@pytest.mark.slow
 def test_contrastive_learns(store, hyper):
     trainer = Trainer(CFG, store, adabn=False, batch_size=8)
     res = train_loop(
@@ -49,6 +50,7 @@ def test_contrastive_learns(store, hyper):
     assert curve[-1] >= curve[0] - 0.05
 
 
+@pytest.mark.slow
 def test_adabn_mode_runs(store, hyper):
     trainer = Trainer(CFG, store, adabn=True, batch_size=8)
     res = train_loop(
@@ -59,6 +61,7 @@ def test_adabn_mode_runs(store, hyper):
     assert float(t.accuracy) > 1.0 / 41  # above chance
 
 
+@pytest.mark.slow
 def test_prediction_mode_runs(store, hyper):
     trainer = Trainer(CFG, store, adabn=False, prediction=True, batch_size=8)
     res = train_loop(
@@ -87,6 +90,7 @@ def test_checkpoint_roundtrip(store, hyper, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_train_epoch_is_deterministic(store, hyper):
     trainer = Trainer(CFG, store, adabn=False, batch_size=8)
     s0 = trainer.init_state(jax.random.PRNGKey(8))
@@ -117,6 +121,7 @@ def test_prediction_glove_mode_runs(store, hyper):
     assert float(t.accuracy) > 0.2
 
 
+@pytest.mark.slow
 def test_db2_view_training(hyper):
     """BASELINE config 1 geometry: DB2 subjects, train folds test reps in
     (load.py:193-195), test uses the val rep."""
@@ -185,6 +190,7 @@ def test_orbax_checkpoint_roundtrip(store, hyper, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_multi_epoch_scan_matches_sequential_epochs(store, hyper):
     """engine.train_epochs (one lax.scan-over-epochs dispatch, the
     train_loop verbose=False path) must equal the same epochs dispatched
@@ -222,6 +228,7 @@ def test_multi_epoch_scan_matches_sequential_epochs(store, hyper):
         )
 
 
+@pytest.mark.slow
 def test_train_loop_rng_invariant_to_verbose_flag(store, hyper, capsys):
     """The same seed must train the same weights whether train_loop takes
     the fused single-dispatch path (verbose=False) or the per-epoch host
@@ -252,6 +259,46 @@ def test_train_loop_rng_invariant_to_verbose_flag(store, hyper, capsys):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("compat", [False, True])
+@pytest.mark.slow
+def test_checkpoint_rule_quirk(store, hyper, tmp_path, monkeypatch, compat):
+    """Quirk ledger row 5 (config.py): default checkpoints on val-loss
+    *improvement* (<= min); compat_checkpoint_on_max reproduces the
+    reference's ``loss_val <= max(val_losses)`` rule (train.py:122-126)
+    which re-saves on nearly every epoch."""
+    import dataclasses as _dc
+
+    from contrastiveprosthetics_tpu.train import loop as loop_mod
+    from contrastiveprosthetics_tpu.train.engine import EvalResult
+
+    cfg = _dc.replace(CFG, compat_checkpoint_on_max=compat)
+    trainer = Trainer(cfg, store, adabn=False, batch_size=8,
+                      n_linear=2, hidden=64)
+
+    scripted = iter([1.0, 2.0, 0.5])
+
+    def fake_evaluate(state, key, h, split="val", batch_size=None):
+        v = next(scripted)
+        z = jnp.zeros(())
+        return EvalResult(loss=jnp.float32(v), accuracy=z, curve=z,
+                          y_pred=z, y_true=z, logits=z)
+
+    saves = []
+    monkeypatch.setattr(trainer, "evaluate", fake_evaluate)
+    monkeypatch.setattr(loop_mod, "save_checkpoint",
+                        lambda path, state: saves.append(path))
+
+    loop_mod.train_loop(
+        trainer, hyper, epochs=3, key=jax.random.PRNGKey(50),
+        checkpoint=True, checkpoint_path=str(tmp_path / "c.msgpack"),
+        verbose=False,
+    )
+    # losses 1.0, 2.0, 0.5 → min rule saves at epochs 0 and 2;
+    # the reference's max rule additionally re-saves the worse epoch 1
+    assert len(saves) == (3 if compat else 2)
+
+
+@pytest.mark.slow
 def test_bf16_mixed_precision_trains(store, hyper):
     """--bf16 path: encoder GEMMs in bfloat16 while params/opt state stay
     float32 (mixed precision), training still learns, and outputs are f32."""
