@@ -6,8 +6,12 @@ GPU. Every config shares the same tiny compute graph, so here the whole
 sweep is **vmapped**: one XLA program trains a stacked axis of configs
 simultaneously — params, Adam moments, dropout streams and batch gathers all
 carry a leading config axis, and the MXU sees the sweep as one big batched
-GEMM. ``chunk`` bounds device memory by splitting the sweep into vmapped
-groups. This is the single biggest per-chip speedup over the reference.
+GEMM. A whole chunk — init → every epoch (``lax.scan``) → final validation,
+for all its configs — is ONE dispatch (``engine._sweep_run``): there are no
+per-epoch host round-trips, the same single-dispatch treatment
+``train_epochs`` gives final runs. ``chunk`` bounds device memory by
+splitting the sweep into vmapped groups. This is the single biggest per-chip
+speedup over the reference.
 
 Artifacts: ``cross_val_keys.npy`` (n, 7) and ``cross_val_values.npy`` (n, 2),
 byte-compatible with the reference's cached sweep (``train.py:157-166``),
@@ -89,28 +93,30 @@ def cross_validate(
         epochs, annealing=False,
         compat_shared_steplr=trainer.cfg.compat_shared_steplr,
     )
+    f_e = jnp.asarray(emg_f, jnp.float32)
+    f_g = jnp.asarray(glove_f, jnp.float32)
 
     vmapped_init = jax.jit(jax.vmap(trainer.init_state))
     n_dp = 1
     if mesh is not None:
         from contrastiveprosthetics_tpu.parallel.spmd import (
-            make_sharded_crossval_epoch,
-            make_sharded_crossval_eval,
+            make_sharded_crossval_run,
         )
 
         n_dp = mesh.shape["dp"]
-        epoch_fn, place = make_sharded_crossval_epoch(trainer, mesh)
-        eval_fn = make_sharded_crossval_eval(trainer, mesh, trainer.batch_size)
-    else:
-        vmapped_epoch = jax.jit(
-            jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None)),
+        run_fn, place = make_sharded_crossval_run(
+            trainer, mesh, trainer.batch_size
         )
-        vmapped_eval = jax.jit(
+    else:
+        # the ENTIRE chunk — init → all epochs → validation, for every
+        # config — is one vmapped, jitted program: a single XLA dispatch
+        # (engine._sweep_run), no per-epoch host round-trips
+        vmapped_run = jax.jit(
             jax.vmap(
-                lambda s, k, h: trainer._evaluate_scalars(
-                    s, k, h, "val", trainer.batch_size
+                lambda s, ek, vk, h, fe, fg: trainer._sweep_run(
+                    s, ek, vk, h, fe, fg, trainer.batch_size
                 ),
-                in_axes=(0, 0, 0),
+                in_axes=(0, 0, 0, 0, None, None),
             )
         )
 
@@ -126,24 +132,21 @@ def cross_validate(
         k_chunk = jax.random.fold_in(key, start)
         init_keys = jax.random.split(jax.random.fold_in(k_chunk, 0), m + pad)
         states = vmapped_init(init_keys)
-        if mesh is not None:
-            states = place(states)
-        for e in range(epochs):
-            ep_keys = jax.random.split(
-                jax.random.fold_in(k_chunk, 100 + e), m + pad
-            )
-            f_e, f_g = jnp.float32(emg_f[e]), jnp.float32(glove_f[e])
-            if mesh is not None:
-                states, losses, accs = epoch_fn(states, ep_keys, h, f_e, f_g)
-            else:
-                states, losses, accs = vmapped_epoch(
-                    states, ep_keys, h, f_e, f_g
-                )
+        # per-config per-epoch keys, (m+pad, epochs, 2) — the same key chain
+        # the per-epoch host loop used, batched up front
+        ep_keys = jnp.stack(
+            [
+                jax.random.split(jax.random.fold_in(k_chunk, 100 + e), m + pad)
+                for e in range(epochs)
+            ],
+            axis=1,
+        )
         val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), m + pad)
         if mesh is not None:
-            vl, va = eval_fn(states, val_keys, h)
+            states = place(states)
+            vl, va = run_fn(states, ep_keys, val_keys, h, f_e, f_g)
         else:
-            vl, va = vmapped_eval(states, val_keys, h)
+            vl, va = vmapped_run(states, ep_keys, val_keys, h, f_e, f_g)
         values[sl, 0] = np.asarray(vl, np.float64)[:m]
         values[sl, 1] = np.asarray(va, np.float64)[:m]
         if verbose:
