@@ -20,7 +20,7 @@ def main(argv=None):
 
     enable_persistent_cache()
 
-    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG, compat_config
     from contrastiveprosthetics_tpu.results.export import export_results
     from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint
     from contrastiveprosthetics_tpu.train.crossval import (
@@ -30,6 +30,8 @@ def main(argv=None):
     )
     from contrastiveprosthetics_tpu.train.engine import Trainer
     from contrastiveprosthetics_tpu.train.loop import run_test
+
+    cfg = compat_config(DEFAULT_CONFIG) if args.compat else DEFAULT_CONFIG
 
     print("Loading dataset")
     store = build_store(args, cfg)
@@ -45,7 +47,7 @@ def main(argv=None):
     )
     print("Dataset loaded")
 
-    values, keys = load_crossval(args.data_dir)
+    values, keys = load_crossval(args.data_dir, id_=args.crossval_id)
     best_key = best_config(values, keys)
     d_e, hyper = hyper_from_key(best_key)
     if args.load_model:
@@ -67,6 +69,23 @@ def main(argv=None):
     print(f"artifacts exported to {out_dir}")
     print("voting curve (first→last):",
           summary["voting_curve"][0], "→", summary["voting_curve"][-1])
+
+    if args.per_subject_eval:
+        import numpy as np
+
+        from contrastiveprosthetics_tpu.results.export import (
+            export_per_subject,
+        )
+
+        ps = trainer.evaluate_per_subject(
+            state, jax.random.fold_in(key, 6), hyper, split="test"
+        )
+        people = cfg.people_mask(db2=args.db2)
+        res = export_per_subject(ps, out_dir, people)
+        print("per-subject test accuracy (own-batch AdaBN statistics):")
+        for pid, a in zip(people, res["per_subject_acc"]):
+            print(f"  subject {int(pid)}: {a:.4f}")
+        print(f"  mean: {res['mean']:.4f}")
     return 0
 
 

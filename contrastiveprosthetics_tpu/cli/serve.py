@@ -1,0 +1,226 @@
+"""Streaming-inference CLI (``cptpu-serve``) — the user surface for the
+serve engine (serve/stream.py), a beyond-reference capability (the
+reference only evaluates offline; BASELINE.json config 5).
+
+Streams a raw 2 kHz recording through the online pipeline (stateful
+bandpass → trailing RMS → encoder → subset-masked scores → majority vote)
+one 10 ms control tick at a time and reports per-tick predictions, the
+running majority vote, and measured tick latency.
+
+Inputs:
+  --checkpoint   msgpack TrainState from ``cptpu-train`` (train.py:122-126
+                 equivalent); serve requires a plain-BN model (--no_adabn).
+  --data_dir     where ``emg_mean.npy``/``emg_std.npy`` live (ingest stats).
+  --recording    .npy (T, 12) raw 2 kHz samples, or .npz with key ``emg``;
+                 with --sessions S also (S, T, 12).
+  --calibrate    optional calibration recording — online AdaBN
+                 re-estimation of BN statistics before streaming
+                 (per session with --sessions).
+  --subset       comma-separated class ids to restrict prediction to
+                 (the set-size restriction, README.md:15).
+  --sessions     serve S concurrent sessions via the vmapped batched tick.
+  --demo         fabricate recording+stats+weights (no files needed).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Stream a recording through the online inference engine"
+    )
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="TrainState msgpack (default: fresh-init weights)")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--recording", type=str, default=None)
+    p.add_argument("--calibrate", type=str, default=None)
+    p.add_argument("--subset", type=str, default=None,
+                   help="comma-separated class ids, e.g. 3,7,12")
+    p.add_argument("--sessions", type=int, default=1)
+    p.add_argument("--seconds", type=float, default=2.0,
+                   help="--demo recording length")
+    p.add_argument("--d_e", type=int, default=16)
+    p.add_argument("--out", type=str, default=None,
+                   help="save preds/votes (npz)")
+    p.add_argument("--demo", action="store_true",
+                   help="synthetic recording + fresh weights (no files)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def _load_recording(path: str):
+    import numpy as np
+
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return np.asarray(z["emg"], np.float32)
+    return np.asarray(np.load(path), np.float32)
+
+
+def _template_state(model, cfg):
+    """A fresh TrainState matching ``Trainer.init_state``'s structure
+    (engine.py) without needing a DeviceStore — the restore template."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from contrastiveprosthetics_tpu.train.engine import TrainState
+
+    key = jax.random.PRNGKey(0)
+    T = cfg.max_tasks
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, T, cfg.emg_dim)), jnp.zeros((2, T, cfg.glove_dim)),
+        0.5, 0.5, True,
+    )
+    params = dict(variables["params"])
+    params.setdefault("emg_net", {})
+    params.setdefault("glove_net", {})
+    opt = optax.scale_by_adam()
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_emg=opt.init(params["emg_net"]),
+        opt_glove=opt.init(params["glove_net"]),
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import numpy as np
+
+    from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as cfg
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.serve.stream import (
+        BatchedStreamingEngine,
+        StreamingEngine,
+    )
+    from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint
+
+    model = ContrastiveModel(
+        d_e=args.d_e, adabn=False, n_classes=cfg.max_tasks,
+        emg_dim=cfg.emg_dim, glove_dim=cfg.glove_dim,
+    )
+    state = _template_state(model, cfg)
+    if args.checkpoint:
+        state = load_checkpoint(args.checkpoint, state)
+    elif not args.demo:
+        print("warning: no --checkpoint given — using fresh-init weights")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    mean_p = os.path.join(args.data_dir, "emg_mean.npy")
+    std_p = os.path.join(args.data_dir, "emg_std.npy")
+    if os.path.exists(mean_p) and os.path.exists(std_p):
+        emg_mean = np.load(mean_p).astype(np.float32)
+        emg_std = np.load(std_p).astype(np.float32)
+        # the compat 'complete' stats ship a scalar mean (utils.py:104-117)
+        emg_mean = np.broadcast_to(emg_mean, (cfg.emg_dim,)).copy()
+        emg_std = np.broadcast_to(emg_std, (cfg.emg_dim,)).copy()
+    else:
+        if not args.demo:
+            print(f"warning: no ingest stats under {args.data_dir} — "
+                  f"using identity normalization")
+        emg_mean = np.zeros(cfg.emg_dim, np.float32)
+        emg_std = np.ones(cfg.emg_dim, np.float32)
+
+    S = args.sessions
+    if args.recording:
+        raw = _load_recording(args.recording)
+    elif args.demo:
+        rng = np.random.default_rng(0)
+        n = int(args.seconds * cfg.hz)
+        raw = rng.standard_normal((n, cfg.emg_dim)).astype(np.float32)
+    else:
+        raise SystemExit("need --recording FILE (or --demo)")
+    if raw.ndim == 2:
+        raw = np.broadcast_to(raw, (S,) + raw.shape)
+    if raw.shape[0] != S:
+        raise SystemExit(
+            f"recording has {raw.shape[0]} sessions, --sessions={S}"
+        )
+
+    subset_mask = None
+    if args.subset:
+        ids = [int(x) for x in args.subset.split(",")]
+        subset_mask = np.zeros(cfg.max_tasks, dtype=bool)
+        subset_mask[ids] = True
+
+    calib = _load_recording(args.calibrate) if args.calibrate else None
+    n_blocks = raw.shape[1] // cfg.factor
+
+    if S == 1:
+        engine = StreamingEngine(cfg, model, variables, emg_mean, emg_std)
+        if calib is not None:
+            engine.calibrate(calib)
+            print("calibrated BN statistics from "
+                  f"{args.calibrate or 'recording'}")
+        carry = engine.init_carry()
+        preds = np.empty((1, n_blocks), np.int32)
+        votes = np.empty((1, n_blocks), np.int32)
+        lat = []
+        for i in range(n_blocks):
+            block = raw[0, i * cfg.factor:(i + 1) * cfg.factor]
+            t0 = time.perf_counter()
+            carry, p, v, _ = engine.step(carry, block, subset_mask)
+            votes[0, i] = int(v)   # blocks until the tick result is host-side
+            lat.append(time.perf_counter() - t0)
+            preds[0, i] = int(p)
+    else:
+        engine = BatchedStreamingEngine(
+            cfg, model, variables, emg_mean, emg_std, n_sessions=S
+        )
+        if calib is not None:
+            calib = np.broadcast_to(
+                calib, (S,) + calib.shape[-2:]
+            ) if calib.ndim == 2 else calib
+            for s in range(S):
+                engine.calibrate_session(s, calib[s])
+            print(f"calibrated BN statistics for {S} sessions")
+        masks = (
+            np.broadcast_to(subset_mask, (S, cfg.max_tasks))
+            if subset_mask is not None else None
+        )
+        carries = engine.init_carries()
+        preds = np.empty((S, n_blocks), np.int32)
+        votes = np.empty((S, n_blocks), np.int32)
+        lat = []
+        for i in range(n_blocks):
+            blocks = raw[:, i * cfg.factor:(i + 1) * cfg.factor]
+            t0 = time.perf_counter()
+            carries, p, v, _ = engine.step(carries, blocks, masks)
+            votes[:, i] = np.asarray(v)
+            lat.append(time.perf_counter() - t0)
+            preds[:, i] = np.asarray(p)
+
+    lat_ms = np.array(lat[1:]) * 1e3  # drop the compile tick
+    budget = 1000.0 * cfg.factor / cfg.hz
+    print(f"streamed {n_blocks} ticks × {S} session(s): "
+          f"p50 {np.percentile(lat_ms, 50):.3f} ms/tick, "
+          f"p99 {np.percentile(lat_ms, 99):.3f} ms "
+          f"(budget {budget:.0f} ms)")
+    for s in range(min(S, 4)):
+        final = int(votes[s, -1])
+        uniq, cnt = np.unique(votes[s], return_counts=True)
+        top = ", ".join(
+            f"{int(u)}×{int(c)}"
+            for u, c in sorted(zip(uniq, cnt), key=lambda t: -t[1])[:5]
+        )
+        if not args.quiet:
+            print(f"session {s}: final vote class {final}; "
+                  f"vote counts: {top}")
+    if args.out:
+        np.savez(args.out, preds=preds, votes=votes, lat_ms=lat_ms)
+        print(f"saved preds/votes to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

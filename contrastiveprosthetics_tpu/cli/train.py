@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "devices (jax.sharding Mesh over ICI; zero "
                         "inter-chip traffic — each chip trains its own "
                         "config slice). No-op on a single device")
+    p.add_argument("--per_subject_eval", action="store_true",
+                   help="after --test, also evaluate each subject in its "
+                        "own batch (true per-subject AdaBN statistics — "
+                        "the reference's stated intent, models.py:245, "
+                        "which its mixed-subject batches never deliver) "
+                        "and report/export per-subject accuracy")
     p.add_argument("--crossval_id", type=str, default="",
                    help="suffix for cross_val_{keys,values}<id>.npy "
                         "(reference train.py:140,159-165 id_ parameter; "
@@ -195,6 +201,25 @@ def main(argv=None):
 
             export_results(t, args.results_dir, n_classes=cfg.max_tasks)
             print(f"artifacts exported to {args.results_dir}")
+        if args.per_subject_eval:
+            ps = trainer.evaluate_per_subject(
+                state, jax.random.fold_in(key, 6), hyper, split="test"
+            )
+            people = cfg.people_mask(db2=args.db2)
+            import numpy as np
+
+            acc = np.asarray(ps.curve)[:, -1].reshape(len(people), -1)
+            acc = acc.mean(axis=1)
+            print("per-subject test accuracy (own-batch AdaBN statistics):")
+            for pid, a in zip(people, acc):
+                print(f"  subject {int(pid)}: {a:.4f}")
+            print(f"  mean: {acc.mean():.4f}  (pooled: {float(t.accuracy):.4f})")
+            if args.results_dir:
+                from contrastiveprosthetics_tpu.results.export import (
+                    export_per_subject,
+                )
+
+                export_per_subject(ps, args.results_dir, people)
 
     if args.profile:
         jax.profiler.stop_trace()

@@ -88,3 +88,34 @@ def export_results(
         "sweep_mean": sweep.mean,
         "confusion_matrix": cm,
     }
+
+
+def export_per_subject(
+    result: EvalResult,
+    out_dir: str,
+    people_ids,
+) -> dict:
+    """Per-subject AdaBN test accuracy (``--per_subject_eval``).
+
+    ``result`` must come from ``Trainer.evaluate_per_subject`` — its rows
+    are in (person, rep, group) item order (engine.py), so reshaping by
+    subject is a view. ``people_ids``: the person-axis indices of the
+    evaluated view (``Config.people_mask``), used to label rows. Writes
+    ``per_subject_acc.npy`` (n_people,) and ``per_subject_acc.xlsx``
+    (person_id, accuracy per row) next to the mixed-batch artifacts —
+    a beyond-reference artifact (the reference reports one pooled number).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    people_ids = np.asarray(people_ids)
+    acc_rows = np.asarray(result.curve)[:, -1]
+    per_subject = acc_rows.reshape(len(people_ids), -1).mean(axis=1)
+    np.save(os.path.join(out_dir, "per_subject_acc.npy"), per_subject)
+    write_xlsx(
+        os.path.join(out_dir, "per_subject_acc.xlsx"),
+        np.stack([people_ids.astype(np.float64), per_subject], axis=1),
+    )
+    return {
+        "per_subject_acc": per_subject,
+        "people_ids": people_ids,
+        "mean": float(per_subject.mean()),
+    }

@@ -22,6 +22,7 @@ Design notes vs the offline path:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -31,6 +32,50 @@ import numpy as np
 from contrastiveprosthetics_tpu.config import Config
 from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
 from contrastiveprosthetics_tpu.ops.signal import butter_bandpass_sos
+
+
+@functools.lru_cache(maxsize=8)
+def _calibration_pass(model: ContrastiveModel):
+    """One jitted mutable forward: ``(variables, frames) -> batch_stats``.
+
+    Built once per model (flax modules are hashable frozen dataclasses) and
+    reused by every calibration call — sessions calibrated through the same
+    model share one compiled program instead of re-jitting each time
+    (jax.jit's shape cache handles differing recording lengths).
+    """
+    rng = jax.random.PRNGKey(0)  # encode_emg uses dropout rate 0.0; unused
+
+    def one_pass(variables, frames):
+        return model.apply(
+            variables, frames, True,
+            method=ContrastiveModel.encode_emg,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )[1]["batch_stats"]
+
+    return jax.jit(one_pass)
+
+
+def recalibrate_batch_stats(
+    model: ContrastiveModel, variables: dict, frames: jax.Array,
+    passes: int = 40,
+) -> dict:
+    """Online AdaBN: re-estimate every BatchNorm's running statistics from
+    preprocessed calibration ``frames`` (T, emg_dim) — the reference's
+    unimplemented TODO (models.py:18 "No code for the online mean/std at
+    test time yet").
+
+    Iterates mutable forwards: each pass moves the running averages toward
+    the calibration batch (flax momentum 0.9), and because a deeper BN's
+    input distribution depends on the shallower BNs' statistics, iterating
+    is the correct fixed-point re-estimation. 40 passes ⇒ residual weight
+    of the old stats ≈ 0.9⁴⁰ ≈ 1.5 %. Returns the new ``batch_stats``.
+    """
+    fwd = _calibration_pass(model)
+    variables = dict(variables)
+    for _ in range(passes):
+        variables = dict(variables, batch_stats=fwd(variables, frames))
+    return variables["batch_stats"]
 
 
 class StreamCarry(NamedTuple):
@@ -179,44 +224,27 @@ class StreamingEngine:
             self._std,
         )
 
-    def calibrate(self, raw_recording: np.ndarray) -> None:
-        """Online AdaBN at test time — the reference's unimplemented TODO
-        (models.py:18 "No code for the online mean/std at test time yet").
-
-        Runs the offline preprocessing over a calibration recording from the
-        *current* user/session and re-estimates every BatchNorm's running
-        statistics from it (one mutable forward). Subsequent streaming
-        inference then normalizes with subject-adapted statistics — AdaBN
-        semantics without needing batches at inference time.
-        """
-        import jax.numpy as jnp
-
+    def preprocess_recording(self, raw_recording: np.ndarray) -> jax.Array:
+        """Offline preprocessing of a raw 2 kHz recording (T, emg_dim) into
+        normalized frames — the ingest pipeline (filter → RMS → downsample →
+        normalize) applied to calibration data."""
         from contrastiveprosthetics_tpu.ops.signal import moving_rms, sosfilt
 
         raw = jnp.asarray(raw_recording, jnp.float32)
         filtered = sosfilt(self._sos, raw * self._prescale)
         frames = moving_rms(filtered, window=self.cfg.rms_window)
         frames = frames[:: self.cfg.factor]
-        frames = (frames - self._mean) / self._std
+        return (frames - self._mean) / self._std
 
-        # Iterate mutable forwards: each pass moves the running averages
-        # toward the calibration batch (flax momentum 0.9), and because a
-        # deeper BN's input distribution depends on the shallower BNs'
-        # statistics, iterating is the correct fixed-point re-estimation.
-        # 40 passes ⇒ residual weight of the old stats ≈ 0.9⁴⁰ ≈ 1.5 %.
-        new_vars = dict(self._dev_vars)
-        rng = jax.random.PRNGKey(0)  # encode_emg uses rate 0.0; rng unused
-        fwd = jax.jit(
-            lambda v: self.model.apply(
-                v, frames, True,
-                method=ContrastiveModel.encode_emg,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )[1]["batch_stats"]
-        )
-        for _ in range(40):
-            new_vars = dict(new_vars)
-            new_vars["batch_stats"] = fwd(new_vars)
+    def calibrate(self, raw_recording: np.ndarray) -> None:
+        """Online AdaBN at test time: re-estimate the BN running statistics
+        from a calibration recording of the *current* user/session
+        (:func:`recalibrate_batch_stats`). Subsequent streaming inference
+        then normalizes with subject-adapted statistics — AdaBN semantics
+        without needing batches at inference time."""
+        frames = self.preprocess_recording(raw_recording)
+        new_stats = recalibrate_batch_stats(self.model, self._dev_vars, frames)
+        new_vars = dict(self._dev_vars, batch_stats=new_stats)
         self.variables = new_vars
         self._dev_vars = jax.device_put(new_vars)
 
@@ -290,17 +318,20 @@ class BatchedStreamingEngine:
 
     def calibrate_session(self, i: int, raw_recording: np.ndarray) -> None:
         """Re-estimate session ``i``'s BN statistics from its own
-        calibration recording (online AdaBN, per user)."""
-        base = dict(self._params)
-        base["batch_stats"] = jax.tree_util.tree_map(
+        calibration recording (online AdaBN, per user).
+
+        All sessions share one compiled calibration program (the
+        lru-cached jit in :func:`recalibrate_batch_stats`): calibrating N
+        sessions costs one compile, not N — essential at the ~900
+        sessions/chip the batched tick supports."""
+        variables = dict(self._params)
+        variables["batch_stats"] = jax.tree_util.tree_map(
             lambda x: x[i], self._batch_stats
         )
-        solo = StreamingEngine(
-            self.cfg, self._single.model, base,
-            np.asarray(self._single._mean), np.asarray(self._single._std),
+        frames = self._single.preprocess_recording(raw_recording)
+        new_stats = recalibrate_batch_stats(
+            self._single.model, variables, frames
         )
-        solo.calibrate(raw_recording)
-        new_stats = solo.variables["batch_stats"]
         self._batch_stats = jax.tree_util.tree_map(
             lambda all_, new: all_.at[i].set(new), self._batch_stats, new_stats
         )

@@ -171,3 +171,27 @@ def test_batched_per_session_calibration_is_isolated(engine, rng):
     after = scores_now()
     np.testing.assert_allclose(after[0], before[0], rtol=1e-6)  # untouched
     assert np.abs(after[1] - before[1]).max() > 1e-4  # adapted
+
+
+def test_session_calibration_shares_one_compiled_program(engine, rng):
+    """Calibrating N sessions must reuse ONE jitted calibration program
+    (stream.recalibrate_batch_stats lru-caches the per-model jit) —
+    round-1 built a throwaway engine + fresh jit per session."""
+    from contrastiveprosthetics_tpu.serve.stream import (
+        BatchedStreamingEngine,
+        _calibration_pass,
+    )
+
+    batched = BatchedStreamingEngine(
+        CFG, engine.model, engine.variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=3,
+    )
+    calib = (rng.standard_normal((2000, 12)) * 3 + 1).astype(np.float32)
+    misses0 = _calibration_pass.cache_info().misses
+    for s in range(3):
+        batched.calibrate_session(s, calib)
+    # one jit construction at most (0 if another test already built it for
+    # this model); never one per session
+    assert _calibration_pass.cache_info().misses - misses0 <= 1
