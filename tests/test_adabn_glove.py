@@ -25,6 +25,7 @@ def hyper():
     return Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
 
 
+@pytest.mark.slow
 def test_per_subject_adabn_eval(store, hyper):
     trainer = Trainer(CFG, store, adabn=True, batch_size=8)
     res = train_loop(
@@ -92,6 +93,7 @@ def test_per_subject_eval_item_order_deterministic(store, hyper):
     np.testing.assert_array_equal(np.asarray(a.y_pred), np.asarray(b.y_pred))
 
 
+@pytest.mark.slow
 def test_glove_encoding_zero_shot_config(store, hyper):
     """BASELINE config 4: glove-angle encodings as class embeddings."""
     trainer = Trainer(

@@ -61,6 +61,7 @@ def test_keys_array_roundtrip():
     np.testing.assert_allclose(float(h3.lr_emg), float(np.asarray(h.lr_emg)[3]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_crossval_runs_and_saves(trainer, tmp_path):
     h = sample_hyperparams(4, seed=2)
     values = cross_validate(
@@ -77,6 +78,7 @@ def test_crossval_runs_and_saves(trainer, tmp_path):
     assert best[0] == 16
 
 
+@pytest.mark.slow
 def test_crossval_chunking_consistent(trainer):
     """Chunked and unchunked sweeps must produce identical values (same
     per-config keys)."""

@@ -17,9 +17,12 @@ from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
 
 CFG = DEFAULT_CONFIG
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+    pytest.mark.slow,  # GSPMD/shard_map compiles: fast tier skips these
+]
 
 
 @pytest.fixture(scope="module")

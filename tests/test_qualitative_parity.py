@@ -18,6 +18,8 @@ from contrastiveprosthetics_tpu.eval.subset_sweep import subset_size_sweep
 from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
 from contrastiveprosthetics_tpu.train.loop import run_test, train_loop
 
+pytestmark = pytest.mark.slow  # GSPMD / full-model: fast tier skips these
+
 CFG = DEFAULT_CONFIG
 
 

@@ -295,6 +295,7 @@ def test_eval_loss_and_voting_differential(ref):
     )
 
 
+@pytest.mark.slow
 def test_compat_mode_e2e(ref, tmp_path):
     """The artifact-faithful configuration, end to end: EVERY compat quirk
     on (uint8 time mask + complete stats + shared StepLR + 249-col voting),
