@@ -145,6 +145,71 @@ def main():
     v = trainer.view_train
     windows_per_epoch = v.D * v.n_tasks
 
+    # --- crossval sweep throughput (the vmapped 150-config random search,
+    # one dispatch per chunk — train/crossval.py). Measured BEFORE the
+    # train/eval benches: running it after other large programs in the
+    # same process depressed it to 807k w/s vs the 1.37M a fresh process
+    # reaches (allocator/dispatch interference; scripts/profile_sweep.py
+    # reproduces the fresh-process number). A/B the fused Pallas
+    # loss at SWEEP geometry (N = configs × batch items), where skipping
+    # the HBM logits round-trip matters most (VERDICT r1 #4). ---
+    sweep_out = {}
+    try:
+        from contrastiveprosthetics_tpu.train.crossval import (
+            sample_hyperparams,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        n_cfg = 150 if on_tpu else 4   # CPU: smoke-scale only
+        sweep_epochs = 1
+        hypers = sample_hyperparams(n_cfg, seed=7)
+        sweep_windows = n_cfg * sweep_epochs * v.D * v.n_tasks
+        skey = jax.random.fold_in(key, 7)
+        init_keys = jax.random.split(jax.random.fold_in(skey, 0), n_cfg)
+        ep_keys = jnp.stack(
+            [jax.random.split(jax.random.fold_in(skey, 100 + e), n_cfg)
+             for e in range(sweep_epochs)], axis=1,
+        )
+        val_keys = jax.random.split(jax.random.fold_in(skey, 999), n_cfg)
+        sweep_ones = np.ones(sweep_epochs, np.float32)
+        ab = {}
+        # drive trainer._sweep_run directly (cross_validate itself forces
+        # the XLA loss — the point of this A/B is to keep measuring why)
+        # xla (the production sweep loss) timed first, in the cleanest
+        # process state; the pallas A/B record second
+        for label, use_pallas in (("xla", False), ("pallas", True)):
+            if use_pallas and not on_tpu:
+                continue
+            tr_s = Trainer(
+                cfg, store, adabn=False, batch_size=8,
+                use_pallas_loss=use_pallas,
+            )
+            run = jax.jit(jax.vmap(
+                lambda s, ek, vk, h: tr_s._sweep_run(
+                    s, ek, vk, h, sweep_ones, sweep_ones, tr_s.batch_size),
+                in_axes=(0, 0, 0, 0),
+            ))
+            states = jax.jit(jax.vmap(tr_s.init_state))(init_keys)
+            out = run(states, ep_keys, val_keys, hypers)   # compile + warm
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = run(states, ep_keys, val_keys, hypers)   # steady state
+            jax.block_until_ready(out)
+            ab[label] = sweep_windows / (time.perf_counter() - t0)
+            print(f"sweep[{label}]: {n_cfg} cfgs × {sweep_epochs} ep → "
+                  f"{ab[label]:,.0f} windows/s", file=sys.stderr)
+        best_label = max(ab, key=ab.get)
+        sweep_wps = ab[best_label]
+        sweep_out = {
+            "crossval_sweep_windows_per_sec": round(sweep_wps, 1),
+            "sweep_configs": n_cfg,
+            "sweep_loss_impl": best_label,
+            "sweep_ab": {k: round(v_, 1) for k, v_ in ab.items()},
+        }
+    except Exception as e:
+        print(f"sweep bench skipped: {e}", file=sys.stderr)
+
+
     # --- warm-up (compile) ---
     n_epochs = 5
     ones = np.ones(n_epochs, np.float32)
@@ -184,51 +249,6 @@ def main():
     jax.block_until_ready(res.loss)
     eval_wps = reps * eval_windows / (time.perf_counter() - t0)
     print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline)", file=sys.stderr)
-
-    # --- crossval sweep throughput (the vmapped 150-config random search,
-    # one dispatch per chunk — train/crossval.py). A/B the fused Pallas
-    # loss at SWEEP geometry (N = configs × batch items), where skipping
-    # the HBM logits round-trip matters most (VERDICT r1 #4). ---
-    sweep_out = {}
-    try:
-        from contrastiveprosthetics_tpu.train.crossval import (
-            cross_validate,
-            sample_hyperparams,
-        )
-
-        on_tpu = jax.default_backend() == "tpu"
-        n_cfg = 150 if on_tpu else 4   # CPU: smoke-scale only
-        sweep_epochs = 1
-        hypers = sample_hyperparams(n_cfg, seed=7)
-        sweep_windows = n_cfg * sweep_epochs * v.D * v.n_tasks
-        ab = {}
-        for label, use_pallas in (("pallas", True), ("xla", False)):
-            if use_pallas and not on_tpu:
-                continue
-            tr_s = Trainer(
-                cfg, store, adabn=False, batch_size=8,
-                use_pallas_loss=use_pallas,
-            )
-            kw = dict(
-                trainer=tr_s, hypers=hypers, epochs=sweep_epochs,
-                key=jax.random.fold_in(key, 7), verbose=False,
-            )
-            cross_validate(**kw)          # compile + warm
-            t0 = time.perf_counter()
-            cross_validate(**kw)          # steady state
-            ab[label] = sweep_windows / (time.perf_counter() - t0)
-            print(f"sweep[{label}]: {n_cfg} cfgs × {sweep_epochs} ep → "
-                  f"{ab[label]:,.0f} windows/s", file=sys.stderr)
-        best_label = max(ab, key=ab.get)
-        sweep_wps = ab[best_label]
-        sweep_out = {
-            "crossval_sweep_windows_per_sec": round(sweep_wps, 1),
-            "sweep_configs": n_cfg,
-            "sweep_loss_impl": best_label,
-            "sweep_ab": {k: round(v_, 1) for k, v_ in ab.items()},
-        }
-    except Exception as e:
-        print(f"sweep bench skipped: {e}", file=sys.stderr)
 
     # --- MFU (utils/flops.py): achieved FLOP/s vs the chip's bf16 peak ---
     from contrastiveprosthetics_tpu.utils.flops import (

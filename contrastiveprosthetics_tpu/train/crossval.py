@@ -19,6 +19,7 @@ including the ``--crossval_load`` reload path.
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Optional
 
@@ -87,6 +88,15 @@ def cross_validate(
     the natural multi-chip scale-out for this workload (SURVEY §5). Chunks
     are padded up to a multiple of the ``dp`` size (pad rows repeat the
     first config; their results are discarded)."""
+    if trainer.use_pallas_loss:
+        # A/B'd on TPU v5e at sweep geometry (150 configs × bs 8, BENCH
+        # sweep_ab): the fused Pallas loss kernel's TPU grid is sequential
+        # per core, so vmapping it over the config axis serializes 150×
+        # the grid steps — 296k vs 807k windows/s for plain XLA. The sweep
+        # therefore always runs the XLA loss; the kernel keeps its win at
+        # single-run geometry (engine.py use_pallas_loss notes).
+        trainer = dataclasses.replace(trainer, use_pallas_loss=False)
+
     n = len(np.asarray(hypers.lr_emg))
     chunk = chunk or n
     emg_f, glove_f = schedule_factors(
