@@ -21,6 +21,23 @@ vectorized dynamic-gather that stays ahead (1.87M vs 1.42M train windows/s
 at the canonical bs=8 geometry). No shipped kernel may lose its A/B; the
 fused loss above is the one that wins.
 
+Two further kernel candidates were evaluated on v5e and NOT built/shipped,
+with measurements standing in for the A/B (round 2):
+
+* **Fused eval similarity+argmax+cumsum-vote** (VERDICT r1 #4): the Amdahl
+  bound kills it before the kernel exists. Full test-split eval is 3.70 ms;
+  the encoder+logits alone are 3.08 ms — the entire vote/loss/unshuffle
+  stage the kernel would replace is a 0.62 ms (17 %) incremental cost that
+  XLA already overlaps (standalone the same vote ops take 1.58 ms). A
+  per-item kernel would also serialize its grid exactly like the case
+  below. Ceiling < 17 %, expected realized win ≲ 5 %: not shipped.
+* **Fused loss inside the config-vmapped crossval sweep**: vmapping
+  ``fused_contrastive_loss`` over 150 configs serializes 150× the grid
+  steps (TPU Pallas grids run sequentially per core) — measured 296k vs
+  807k windows/s for plain XLA at sweep geometry (BENCH ``sweep_ab``).
+  ``cross_validate`` therefore forces the XLA loss; the kernel stays
+  default-on only for single-run training, where it wins its A/B.
+
 Every op has a pure-XLA fallback with identical semantics; the
 ``*_reference`` functions are the oracle used by tests (Pallas interpret
 mode on CPU must match them).
