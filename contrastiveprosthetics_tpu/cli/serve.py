@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save preds/votes (npz)")
     p.add_argument("--demo", action="store_true",
                    help="synthetic recording + fresh weights (no files)")
+    p.add_argument("--spmd", action="store_true",
+                   help="shard the session axis over all visible devices "
+                        "(multi-chip serving; zero inter-chip traffic). "
+                        "No-op on a single device")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -174,8 +178,17 @@ def main(argv=None):
             lat.append(time.perf_counter() - t0)
             preds[0, i] = int(p)
     else:
+        import jax
+
+        mesh = None
+        if args.spmd and len(jax.devices()) > 1 and S % len(jax.devices()) == 0:
+            from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_dp=len(jax.devices()), n_mp=1)
+            print(f"sessions sharded over {mesh}")
         engine = BatchedStreamingEngine(
-            cfg, model, variables, emg_mean, emg_std, n_sessions=S
+            cfg, model, variables, emg_mean, emg_std, n_sessions=S,
+            mesh=mesh,
         )
         if calib is not None:
             calib = np.broadcast_to(

@@ -265,7 +265,9 @@ class StreamingEngine:
 
 class BatchedStreamingEngine:
     """Multi-session serving: ONE jitted tick serves ``n_sessions``
-    prosthesis users concurrently on one chip.
+    prosthesis users concurrently on one chip — or across a chip mesh
+    (``mesh=``), where the session axis is sharded over ``dp`` and
+    capacity scales linearly with zero inter-chip collectives.
 
     Production shape: encoder parameters are shared across sessions while
     BatchNorm running statistics are PER-SESSION (each user gets their own
@@ -286,18 +288,33 @@ class BatchedStreamingEngine:
         emg_std: np.ndarray,
         n_sessions: int,
         glove_prototypes: Optional[np.ndarray] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the
+        session axis is then sharded over it: each chip serves its own
+        session slice inside ONE jitted tick, with zero inter-chip
+        collectives (sessions are independent). Session capacity scales
+        linearly with chips; ``n_sessions`` must divide by the ``dp``
+        size. Parameters/class embeddings are replicated; per-session
+        state (DSP carries, vote windows, BN statistics, subset masks) is
+        sharded."""
+        if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"n_sessions={n_sessions} must divide by the mesh dp size "
+                f"{mesh.shape['dp']}"
+            )
         self.n_sessions = n_sessions
         self._single = StreamingEngine(
             cfg, model, variables, emg_mean, emg_std, glove_prototypes
         )
         self.cfg = cfg
+        self._mesh = mesh
         # shared params; per-session batch_stats (initialized identical)
         stack = lambda x: jnp.broadcast_to(x, (n_sessions,) + x.shape)
         self._params = jax.device_put(
             {k: v for k, v in variables.items() if k != "batch_stats"}
         )
-        self._batch_stats = jax.device_put(
+        self._batch_stats = self._place_sessions(
             jax.tree_util.tree_map(stack, variables.get("batch_stats", {}))
         )
         var_axes = {k: None for k in variables if k != "batch_stats"}
@@ -310,10 +327,31 @@ class BatchedStreamingEngine:
             donate_argnums=(0,),
         )
 
+    def _place_sessions(self, tree):
+        """Shard the leading (session) axis over the mesh's dp dimension;
+        single-chip engines just device_put."""
+        if self._mesh is None:
+            return jax.device_put(tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            tree,
+            jax.tree_util.tree_map(
+                lambda leaf: NamedSharding(
+                    self._mesh, P(*(("dp",) + (None,) * (leaf.ndim - 1)))
+                ),
+                tree,
+            ),
+        )
+
     def init_carries(self) -> StreamCarry:
         one = self._single.init_carry()
-        return jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (self.n_sessions,) + x.shape), one
+        return self._place_sessions(
+            jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (self.n_sessions,) + x.shape
+                ), one
+            )
         )
 
     def calibrate_session(self, i: int, raw_recording: np.ndarray) -> None:
@@ -353,8 +391,8 @@ class BatchedStreamingEngine:
         variables["batch_stats"] = self._batch_stats
         return self._step(
             carries,
-            jnp.asarray(raw_blocks, jnp.float32),
-            jnp.asarray(subset_masks),
+            self._place_sessions(jnp.asarray(raw_blocks, jnp.float32)),
+            self._place_sessions(jnp.asarray(subset_masks)),
             variables,
             self._single._dev_class_emb,
             self._single._sos,

@@ -172,3 +172,72 @@ def test_cross_validate_with_mesh_matches_unsharded(trainer, hyper):
     assert v_sharded.shape == (6, 2)
     np.testing.assert_allclose(v_sharded[:, 0], v_plain[:, 0], rtol=1e-4)
     np.testing.assert_allclose(v_sharded[:, 1], v_plain[:, 1], atol=1e-6)
+
+
+def test_session_sharded_serving_matches_single_chip(rng):
+    """BatchedStreamingEngine(mesh=...): the session axis sharded over dp
+    must produce exactly the single-chip batched engine's outputs —
+    sessions are independent, so the sharded tick is pure SPMD with no
+    collectives."""
+    import jax.numpy as jnp
+
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, CFG.emg_dim)),
+        jnp.zeros((2, CFG.max_tasks, CFG.glove_dim)),
+        0.5, 0.5, True,
+    )
+    S = 8
+    mk = lambda mesh: BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(CFG.emg_dim, np.float32),
+        emg_std=np.ones(CFG.emg_dim, np.float32),
+        n_sessions=S, mesh=mesh,
+    )
+    sharded = mk(make_mesh(n_dp=8, n_mp=1))
+    plain = mk(None)
+
+    masks = np.ones((S, CFG.max_tasks), bool)
+    masks[3, 20:] = False  # one restricted session
+    c_sh, c_pl = sharded.init_carries(), plain.init_carries()
+    for t in range(3):
+        blocks = rng.standard_normal(
+            (S, CFG.factor, CFG.emg_dim)
+        ).astype(np.float32)
+        c_sh, p_sh, v_sh, s_sh = sharded.step(c_sh, blocks, masks)
+        c_pl, p_pl, v_pl, s_pl = plain.step(c_pl, blocks, masks)
+        np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_pl))
+        np.testing.assert_array_equal(np.asarray(v_sh), np.asarray(v_pl))
+        np.testing.assert_allclose(
+            np.asarray(s_sh), np.asarray(s_pl), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_session_shard_requires_divisible_sessions():
+    import jax.numpy as jnp
+
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, CFG.emg_dim)),
+        jnp.zeros((2, CFG.max_tasks, CFG.glove_dim)),
+        0.5, 0.5, True,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        BatchedStreamingEngine(
+            CFG, model, variables,
+            emg_mean=np.zeros(CFG.emg_dim, np.float32),
+            emg_std=np.ones(CFG.emg_dim, np.float32),
+            n_sessions=5, mesh=make_mesh(n_dp=8, n_mp=1),
+        )
