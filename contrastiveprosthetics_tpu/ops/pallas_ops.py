@@ -31,12 +31,14 @@ with measurements standing in for the A/B (round 2):
   XLA already overlaps (standalone the same vote ops take 1.58 ms). A
   per-item kernel would also serialize its grid exactly like the case
   below. Ceiling < 17 %, expected realized win ≲ 5 %: not shipped.
-* **Fused loss inside the config-vmapped crossval sweep**: vmapping
-  ``fused_contrastive_loss`` over 150 configs serializes 150× the grid
-  steps (TPU Pallas grids run sequentially per core) — measured 296k vs
-  807k windows/s for plain XLA at sweep geometry (BENCH ``sweep_ab``).
-  ``cross_validate`` therefore forces the XLA loss; the kernel stays
-  default-on only for single-run training, where it wins its A/B.
+* **Fused loss inside the config-vmapped crossval sweep**: A/B-NEUTRAL —
+  the phase-isolated v5e bench measures 1.3728M windows/s with either
+  impl (BENCH ``sweep_ab``): the sweep is HBM/optimizer-bound and the
+  loss (XLA or the 150-step sequential vmapped grid) is noise. An
+  earlier same-process reading showing pallas 2.7× behind (296k vs 807k)
+  was cross-program contamination — the finding that drove bench.py's
+  per-phase subprocess isolation. The kernel's default stays as the
+  single-run A/B decided.
 
 Every op has a pure-XLA fallback with identical semantics; the
 ``*_reference`` functions are the oracle used by tests (Pallas interpret

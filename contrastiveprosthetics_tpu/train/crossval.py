@@ -19,7 +19,6 @@ including the ``--crossval_load`` reload path.
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Optional
 
@@ -88,15 +87,13 @@ def cross_validate(
     the natural multi-chip scale-out for this workload (SURVEY §5). Chunks
     are padded up to a multiple of the ``dp`` size (pad rows repeat the
     first config; their results are discarded)."""
-    if trainer.use_pallas_loss:
-        # A/B'd on TPU v5e at sweep geometry (150 configs × bs 8, BENCH
-        # sweep_ab): the fused Pallas loss kernel's TPU grid is sequential
-        # per core, so vmapping it over the config axis serializes 150×
-        # the grid steps — 296k vs 807k windows/s for plain XLA. The sweep
-        # therefore always runs the XLA loss; the kernel keeps its win at
-        # single-run geometry (engine.py use_pallas_loss notes).
-        trainer = dataclasses.replace(trainer, use_pallas_loss=False)
-
+    # Loss-impl note: the fused Pallas loss is A/B-neutral at sweep
+    # geometry (phase-isolated v5e bench sweep_ab: 1.3728M pallas vs
+    # 1.3728M xla windows/s — the sweep is HBM/optimizer-bound, the loss
+    # is noise either way), so the trainer's use_pallas_loss setting is
+    # honored as-is. An earlier same-process measurement showing pallas
+    # 2.7× behind was a cross-program contamination artifact (see
+    # bench.py's phase-isolation rationale).
     n = len(np.asarray(hypers.lr_emg))
     chunk = chunk or n
     emg_f, glove_f = schedule_factors(

@@ -99,10 +99,10 @@ class Trainer:
     # epochs at the canonical geometry (bs=8, T=41, d_e=16):
     #   fused loss   1.94M windows/s vs 1.87M XLA  → default ON on TPU
     #     (the custom VJP skips autodiff through the materialized logits)
-    #   ...but OFF inside the vmapped crossval sweep: TPU Pallas grids are
-    #   sequential per core, so the config-vmapped kernel serializes 150×
-    #   the grid steps (A/B at sweep geometry: 296k vs 807k windows/s;
-    #   crossval.cross_validate forces the XLA loss)
+    #   ...and A/B-NEUTRAL inside the vmapped crossval sweep (phase-
+    #   isolated v5e bench: 1.3728M w/s either impl — the sweep is
+    #   HBM/optimizer-bound, the loss is noise), so the flag is honored
+    #   there too
     # A fused gather+normalize kernel was tried and DELETED: at 48-byte rows
     # (C=12 f32) every variant is DMA-latency-bound and lost to XLA's
     # vectorized take (1.42M vs 1.87M windows/s) — see ops/pallas_ops.py.
