@@ -188,17 +188,22 @@ def phase_sweep() -> dict:
             continue
         tr_s = Trainer(cfg, store, adabn=False, batch_size=8, **kw)
         v_ref = tr_s.view_train
+        # schedule factors are ARGUMENTS (same traced signature as
+        # cross_validate's production program) so bench and CLI share one
+        # persistent-cache entry — a closed-over constant here cost go.sh
+        # a 4-minute duplicate compile of an otherwise identical sweep
         run = jax.jit(jax.vmap(
-            lambda s, ek, vk, h: tr_s._sweep_run(
-                s, ek, vk, h, sweep_ones, sweep_ones, tr_s.batch_size),
-            in_axes=(0, 0, 0, 0),
+            lambda s, ek, vk, h, fe, fg: tr_s._sweep_run(
+                s, ek, vk, h, fe, fg, tr_s.batch_size),
+            in_axes=(0, 0, 0, 0, None, None),
         ))
         states = jax.jit(jax.vmap(tr_s.init_state))(init_keys)
         sweep_windows = n_cfg * sweep_epochs * v_ref.D * v_ref.n_tasks
-        out = run(states, ep_keys, val_keys, hypers)   # compile + warm
+        f1 = jnp.asarray(sweep_ones)
+        out = run(states, ep_keys, val_keys, hypers, f1, f1)  # compile+warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        out = run(states, ep_keys, val_keys, hypers)   # steady state
+        out = run(states, ep_keys, val_keys, hypers, f1, f1)  # steady state
         jax.block_until_ready(out)
         ab[label] = sweep_windows / (time.perf_counter() - t0)
         print(f"sweep[{label}]: {n_cfg} cfgs × {sweep_epochs} ep → "
