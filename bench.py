@@ -150,18 +150,20 @@ def phase_serve() -> dict:
 
 # ===================================================================== sweep
 def phase_sweep() -> dict:
-    """Vmapped 150-config crossval sweep, one dispatch per chunk
-    (train/crossval.py). A/B at sweep geometry: f32 XLA loss (the
-    production default — headline), bf16 compute (wins: HBM-bound here),
-    fused Pallas loss (loses: TPU grids serialize the config axis)."""
+    """The production crossval sweep (``cross_validate``, exactly the
+    --crossval_size=150 go.sh path): chunked at the measured-optimal 5
+    configs per device, each chunk one dispatch. Headline = the f32
+    default; bf16 recorded as the A/B (the fused Pallas loss is
+    A/B-neutral here — ops/pallas_ops.py notes)."""
     jax, cfg, dev = _setup()
-    import jax.numpy as jnp
-
-    from contrastiveprosthetics_tpu.train.crossval import sample_hyperparams
-    from contrastiveprosthetics_tpu.train.engine import Trainer
 
     from contrastiveprosthetics_tpu.data.store import DeviceStore
     from contrastiveprosthetics_tpu.data.synthetic import make_processed_dataset
+    from contrastiveprosthetics_tpu.train.crossval import (
+        cross_validate,
+        sample_hyperparams,
+    )
+    from contrastiveprosthetics_tpu.train.engine import Trainer
 
     emg, pos, glove = make_processed_dataset(cfg)
     store = DeviceStore(cfg, emg, pos, glove, device=dev)
@@ -169,48 +171,25 @@ def phase_sweep() -> dict:
     n_cfg = 150 if on_tpu else 4   # CPU: smoke-scale only
     sweep_epochs = 1
     hypers = sample_hyperparams(n_cfg, seed=7)
-    skey = jax.random.fold_in(jax.random.PRNGKey(0), 7)
-    init_keys = jax.random.split(jax.random.fold_in(skey, 0), n_cfg)
-    ep_keys = jnp.stack(
-        [jax.random.split(jax.random.fold_in(skey, 100 + e), n_cfg)
-         for e in range(sweep_epochs)], axis=1,
-    )
-    val_keys = jax.random.split(jax.random.fold_in(skey, 999), n_cfg)
-    sweep_ones = np.ones(sweep_epochs, np.float32)
-    variants = [
-        ("xla", dict(use_pallas_loss=False)),
-        ("bf16", dict(use_pallas_loss=False, compute_dtype="bfloat16")),
-        ("pallas", dict(use_pallas_loss=True)),
-    ]
     ab = {}
-    for label, kw in variants:
-        if label != "xla" and not on_tpu:
+    for label, kw in (("f32", {}), ("bf16", dict(compute_dtype="bfloat16"))):
+        if label != "f32" and not on_tpu:
             continue
         tr_s = Trainer(cfg, store, adabn=False, batch_size=8, **kw)
         v_ref = tr_s.view_train
-        # schedule factors are ARGUMENTS (same traced signature as
-        # cross_validate's production program) so bench and CLI share one
-        # persistent-cache entry — a closed-over constant here cost go.sh
-        # a 4-minute duplicate compile of an otherwise identical sweep
-        run = jax.jit(jax.vmap(
-            lambda s, ek, vk, h, fe, fg: tr_s._sweep_run(
-                s, ek, vk, h, fe, fg, tr_s.batch_size),
-            in_axes=(0, 0, 0, 0, None, None),
-        ))
-        states = jax.jit(jax.vmap(tr_s.init_state))(init_keys)
         sweep_windows = n_cfg * sweep_epochs * v_ref.D * v_ref.n_tasks
-        f1 = jnp.asarray(sweep_ones)
-        out = run(states, ep_keys, val_keys, hypers, f1, f1)  # compile+warm
-        jax.block_until_ready(out)
+        run = lambda: cross_validate(
+            tr_s, hypers, epochs=sweep_epochs,
+            key=jax.random.fold_in(jax.random.PRNGKey(0), 7), verbose=False,
+        )
+        run()                                          # compile + warm
         t0 = time.perf_counter()
-        out = run(states, ep_keys, val_keys, hypers, f1, f1)  # steady state
-        jax.block_until_ready(out)
+        run()                                          # steady state
         ab[label] = sweep_windows / (time.perf_counter() - t0)
         print(f"sweep[{label}]: {n_cfg} cfgs × {sweep_epochs} ep → "
               f"{ab[label]:,.0f} windows/s", file=sys.stderr)
-    # headline = the production default (f32 XLA loss)
     return {
-        "crossval_sweep_windows_per_sec": round(ab["xla"], 1),
+        "crossval_sweep_windows_per_sec": round(ab["f32"], 1),
         "sweep_configs": n_cfg,
         "sweep_ab": {k: round(x, 1) for k, x in ab.items()},
     }
