@@ -117,8 +117,49 @@ def cross_validate(
     f_e = jnp.asarray(emg_f, jnp.float32)
     f_g = jnp.asarray(glove_f, jnp.float32)
 
-    vmapped_init = jax.jit(jax.vmap(trainer.init_state))
-    if mesh is not None:
+    hy_np = [np.asarray(x) for x in hypers]
+    values = np.empty((n, 2), dtype=np.float64)
+
+    if mesh is None:
+        # One jitted chunk program (engine._sweep_chunk_at), one dispatch
+        # per chunk with the chunk index as a traced scalar: the chunk
+        # table lives on device, keys/init happen in-graph, and NO
+        # host→device transfer or sync occurs inside the loop — the chunk
+        # dispatches pipeline back to back (v5e: 150 ms/chunk at width 5;
+        # host-staged and lax.scan-fused formulations both ran ~350
+        # ms/chunk — see _sweep_chunk_at's design history).
+        n_chunks = (n + chunk - 1) // chunk
+        rows = np.empty((n_chunks, chunk), np.int64)
+        for ci in range(n_chunks):
+            s, e = ci * chunk, min((ci + 1) * chunk, n)
+            # pad rows repeat the chunk's first config; results discarded
+            rows[ci] = np.concatenate(
+                [np.arange(s, e), np.full(chunk - (e - s), s)]
+            )
+        h_chunks = Hyper(*[jnp.asarray(a[rows]) for a in hy_np])
+        outs = [
+            trainer.sweep_chunk_at(
+                h_chunks, jnp.int32(ci), key, f_e, f_g,
+                trainer.batch_size, chunk,
+            )
+            for ci in range(n_chunks)
+        ]
+        vls = np.asarray(
+            jnp.concatenate([o[0] for o in outs]), np.float64
+        )
+        vas = np.asarray(
+            jnp.concatenate([o[1] for o in outs]), np.float64
+        )
+        for ci in range(n_chunks):
+            s, e = ci * chunk, min((ci + 1) * chunk, n)
+            values[s:e, 0] = vls[ci * chunk: ci * chunk + (e - s)]
+            values[s:e, 1] = vas[ci * chunk: ci * chunk + (e - s)]
+        if verbose:
+            print(
+                f"crossval [{n}/{n}]: best acc "
+                f"{np.nanmax(values[:, 1]):.4f}"
+            )
+    else:
         from contrastiveprosthetics_tpu.parallel.spmd import (
             make_sharded_crossval_run,
         )
@@ -126,52 +167,44 @@ def cross_validate(
         run_fn, place = make_sharded_crossval_run(
             trainer, mesh, trainer.batch_size
         )
-    else:
-        # the ENTIRE chunk — init → all epochs → validation, for every
-        # config — is one vmapped, jitted program: a single XLA dispatch
-        # (engine._sweep_run), no per-epoch host round-trips
-        vmapped_run = jax.jit(
-            jax.vmap(
-                lambda s, ek, vk, h, fe, fg: trainer._sweep_run(
-                    s, ek, vk, h, fe, fg, trainer.batch_size
-                ),
-                in_axes=(0, 0, 0, 0, None, None),
+        vmapped_init = jax.jit(jax.vmap(trainer.init_state))
+        pending = []  # deferred syncs so chunk dispatches pipeline
+        for start in range(0, n, chunk):
+            sl = slice(start, min(start + chunk, n))
+            m = sl.stop - sl.start
+            pad = (-m) % n_dp  # shard_map needs the axis divisible by dp
+            rows = np.arange(sl.start, sl.stop)
+            if pad:
+                rows = np.concatenate([rows, np.full(pad, sl.start)])
+            h = Hyper(*[jnp.asarray(a[rows]) for a in hy_np])
+            k_chunk = jax.random.fold_in(key, start)
+            init_keys = jax.random.split(
+                jax.random.fold_in(k_chunk, 0), m + pad
             )
-        )
-
-    values = np.empty((n, 2), dtype=np.float64)
-    for start in range(0, n, chunk):
-        sl = slice(start, min(start + chunk, n))
-        m = sl.stop - sl.start
-        pad = (-m) % n_dp  # shard_map needs the config axis divisible by dp
-        rows = np.arange(sl.start, sl.stop)
-        if pad:
-            rows = np.concatenate([rows, np.full(pad, sl.start)])
-        h = Hyper(*[jnp.asarray(np.asarray(x)[rows]) for x in hypers])
-        k_chunk = jax.random.fold_in(key, start)
-        init_keys = jax.random.split(jax.random.fold_in(k_chunk, 0), m + pad)
-        states = vmapped_init(init_keys)
-        # per-config per-epoch keys, (m+pad, epochs, 2) — the same key chain
-        # the per-epoch host loop used, batched up front
-        ep_keys = jnp.stack(
-            [
-                jax.random.split(jax.random.fold_in(k_chunk, 100 + e), m + pad)
-                for e in range(epochs)
-            ],
-            axis=1,
-        )
-        val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), m + pad)
-        if mesh is not None:
-            states = place(states)
+            states = place(vmapped_init(init_keys))
+            # per-config per-epoch keys, (m+pad, epochs, 2) — the same key
+            # chain the per-epoch host loop used, batched up front
+            ep_keys = jnp.stack(
+                [
+                    jax.random.split(
+                        jax.random.fold_in(k_chunk, 100 + e), m + pad
+                    )
+                    for e in range(epochs)
+                ],
+                axis=1,
+            )
+            val_keys = jax.random.split(
+                jax.random.fold_in(k_chunk, 999), m + pad
+            )
             vl, va = run_fn(states, ep_keys, val_keys, h, f_e, f_g)
-        else:
-            vl, va = vmapped_run(states, ep_keys, val_keys, h, f_e, f_g)
-        values[sl, 0] = np.asarray(vl, np.float64)[:m]
-        values[sl, 1] = np.asarray(va, np.float64)[:m]
+            pending.append((sl, m, vl, va))
+        for sl, m, vl, va in pending:
+            values[sl, 0] = np.asarray(vl, np.float64)[:m]
+            values[sl, 1] = np.asarray(va, np.float64)[:m]
         if verbose:
             print(
-                f"crossval [{sl.stop}/{n}]: best acc so far "
-                f"{np.nanmax(values[: sl.stop, 1]):.4f}"
+                f"crossval [{n}/{n}]: best acc "
+                f"{np.nanmax(values[:, 1]):.4f}"
             )
 
     if save_dir is not None:

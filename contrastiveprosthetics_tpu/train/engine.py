@@ -143,6 +143,7 @@ class Trainer:
         self._train_epoch_jit = None
         self._train_epochs_jit = None
         self._eval_jit = {}
+        self._sweep_jit = {}
 
     # ------------------------------------------------------------------ init
     def init_state(self, key: jax.Array) -> TrainState:
@@ -337,6 +338,67 @@ class Trainer:
         )
         return self._evaluate_scalars(
             state, val_key, hyper, "val", val_batch_size
+        )
+
+    def _sweep_chunk_at(self, hypers_chunks: Hyper, ci: jax.Array,
+                        key: jax.Array, emg_factors, glove_factors,
+                        val_batch_size: int, chunk: int):
+        """One sweep chunk, fully in-graph: slice chunk ``ci`` out of the
+        device-resident chunk table, derive its keys from the chunk-start
+        chain ``fold_in(key, ci·chunk)``, init the states, run every epoch
+        and the validation (``_sweep_run``) for all ``chunk`` configs.
+
+        The caller jits this ONCE and fires one dispatch per chunk with
+        ``ci`` as a traced scalar — zero host→device transfers or syncs
+        inside the sweep loop, so the chunk dispatches pipeline back to
+        back on device. Design history (v5e, 150 configs × width 5): the
+        same body dispatched this way runs 150 ms/chunk; wrapping the
+        chunk loop in a device-side ``lax.scan`` instead ran 357 ms/chunk
+        (while-loop bodies lose overlap/fusion), and a host loop that
+        re-staged inputs per chunk plateaued at ~350 ms/chunk on host
+        transfer round trips. Returns (chunk,) losses and accuracies."""
+        epochs = emg_factors.shape[0]
+        h = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, ci, 0, keepdims=False),
+            hypers_chunks,
+        )
+        start = ci * chunk
+        k_chunk = jax.random.fold_in(key, start)
+        init_keys = jax.random.split(jax.random.fold_in(k_chunk, 0), chunk)
+        states = jax.vmap(self.init_state)(init_keys)
+        ep_keys = jnp.stack(
+            [
+                jax.random.split(jax.random.fold_in(k_chunk, 100 + e), chunk)
+                for e in range(epochs)
+            ],
+            axis=1,
+        )
+        val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), chunk)
+        return jax.vmap(
+            lambda s, ek, vk, hh: self._sweep_run(
+                s, ek, vk, hh, emg_factors, glove_factors, val_batch_size
+            ),
+        )(states, ep_keys, val_keys, h)
+
+    def sweep_chunk_at(self, hypers_chunks, ci, key, emg_factors,
+                       glove_factors, val_batch_size: int, chunk: int):
+        """Jit-cached entry for ``_sweep_chunk_at``. The jit object lives
+        on the trainer (like ``train_epochs``): a fresh ``jax.jit`` per
+        ``cross_validate`` call would re-TRACE the whole sweep graph every
+        invocation — several seconds of host time that measured as a
+        phantom 2.5× sweep slowdown (975k vs 2.46M windows/s on v5e)
+        before the compile cache even matters."""
+        sig = (chunk, val_batch_size)
+        if sig not in self._sweep_jit:
+            self._sweep_jit[sig] = jax.jit(
+                partial(
+                    self._sweep_chunk_at,
+                    val_batch_size=val_batch_size,
+                    chunk=chunk,
+                )
+            )
+        return self._sweep_jit[sig](
+            hypers_chunks, ci, key, emg_factors, glove_factors
         )
 
     # ------------------------------------------------------------------ eval

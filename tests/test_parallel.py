@@ -163,11 +163,15 @@ def test_cross_validate_with_mesh_matches_unsharded(trainer, hyper):
     )
     h = sample_hyperparams(6, seed=5)  # 6 configs over dp=8 → pad 2
     mesh = make_mesh(n_dp=8, n_mp=1)
+    # chunk pinned identical on both paths: per-chunk RNG streams derive
+    # from the chunk-start chain, so equality is defined per chunking
+    # (split-count differences from dp padding are prefix-stable)
     v_sharded = cross_validate(
-        tr, h, epochs=1, key=jax.random.PRNGKey(9), verbose=False, mesh=mesh
+        tr, h, epochs=1, key=jax.random.PRNGKey(9), verbose=False,
+        mesh=mesh, chunk=6,
     )
     v_plain = cross_validate(
-        tr, h, epochs=1, key=jax.random.PRNGKey(9), verbose=False
+        tr, h, epochs=1, key=jax.random.PRNGKey(9), verbose=False, chunk=6
     )
     assert v_sharded.shape == (6, 2)
     np.testing.assert_allclose(v_sharded[:, 0], v_plain[:, 0], rtol=1e-4)
