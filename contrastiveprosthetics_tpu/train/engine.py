@@ -117,12 +117,23 @@ class Trainer:
     # 328-row steps are scheduling-bound, not MXU-bound; bf16 pays off at
     # larger batch sizes / model widths.
     compute_dtype: str = "float32"
+    # batch-scan unroll: TPU while-loop iterations carry per-step overhead
+    # that the 328-row canonical bodies don't amortize. A/B on v5e (bs=8,
+    # ms/epoch): unroll 1 → 42.5, 2 → 36.2, 4 → 36.5, 8 → 36.4 (+17% at
+    # 2, flat beyond). Semantically identical (unroll replicates the scan
+    # body). None → 2 on TPU, 1 elsewhere (XLA:CPU compile cost doubles
+    # per unroll step for zero benefit there).
+    scan_unroll: Optional[int] = None
 
     def __post_init__(self):
-        if self.use_pallas_loss is None:
+        if self.use_pallas_loss is None or self.scan_unroll is None:
             from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
 
-            self.use_pallas_loss = on_tpu()
+            tpu = on_tpu()
+            if self.use_pallas_loss is None:
+                self.use_pallas_loss = tpu
+            if self.scan_unroll is None:
+                self.scan_unroll = 2 if tpu else 1
         self.model = ContrastiveModel(
             d_e=self.d_e,
             emg_dim=self.cfg.emg_dim,
@@ -269,7 +280,9 @@ class Trainer:
             # same body at bs=300); TPU is unaffected either way
             (state, _), (loss, acc) = body((state, 0), batches[0])
             return state, loss, acc
-        (state, _), (losses, accs) = jax.lax.scan(body, (state, 0), batches)
+        (state, _), (losses, accs) = jax.lax.scan(
+            body, (state, 0), batches, unroll=self.scan_unroll
+        )
         return state, losses.mean(), accs.mean()
 
     def train_epoch(self, state, key, hyper, lr_emg_factor=1.0, lr_glove_factor=1.0):
