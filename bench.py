@@ -113,8 +113,13 @@ def phase_serve() -> dict:
         jax.block_until_ready(p)
         lat.append(time.perf_counter() - t0)
     out["serve_p50_ms"] = round(float(np.percentile(lat, 50) * 1e3), 3)
+    # p10/p90 expose the remote-tunnel jitter (p50 ranged 0.5-1.0 ms
+    # across otherwise identical runs this round)
+    out["serve_p10_ms"] = round(float(np.percentile(lat, 10) * 1e3), 3)
+    out["serve_p90_ms"] = round(float(np.percentile(lat, 90) * 1e3), 3)
     print(f"serve: p50 per-tick latency {out['serve_p50_ms']:.3f} ms "
-          f"(budget 10 ms/tick)", file=sys.stderr)
+          f"(p10 {out['serve_p10_ms']:.3f} / p90 {out['serve_p90_ms']:.3f}; "
+          f"budget 10 ms/tick)", file=sys.stderr)
 
     S = 64
     batched = BatchedStreamingEngine(

@@ -96,3 +96,43 @@ def test_crossval_chunking_consistent(trainer):
     assert np.isfinite(v_chunks).all()
     np.testing.assert_allclose(v_all[:2, 0], v_chunks[:2, 0], rtol=1e-3)
     assert np.abs(v_all[:2, 1] - v_chunks[:2, 1]).max() < 0.05
+
+
+@pytest.mark.slow
+def test_sweep_chunk_at_matches_manual_formulation(trainer):
+    """engine._sweep_chunk_at derives keys and inits states IN-GRAPH from
+    the chunk-start chain; it must equal the manual host-side formulation
+    (explicit fold_in/split/init + vmapped _sweep_run) exactly."""
+    import jax.numpy as jnp
+
+    n, chunk, ci = 6, 3, 1
+    hypers = sample_hyperparams(n, seed=11)
+    rows = np.arange(n).reshape(2, chunk)
+    h_chunks = Hyper(*[jnp.asarray(np.asarray(x)[rows]) for x in hypers])
+    key = jax.random.PRNGKey(5)
+    ones = jnp.ones((1,), jnp.float32)
+
+    vl, va = trainer.sweep_chunk_at(
+        h_chunks, jnp.int32(ci), key, ones, ones, trainer.batch_size, chunk
+    )
+
+    # manual: same chain, host-side
+    k_chunk = jax.random.fold_in(key, ci * chunk)
+    init_keys = jax.random.split(jax.random.fold_in(k_chunk, 0), chunk)
+    states = jax.vmap(trainer.init_state)(init_keys)
+    ep_keys = jnp.stack(
+        [jax.random.split(jax.random.fold_in(k_chunk, 100), chunk)], axis=1
+    )
+    val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), chunk)
+    h = Hyper(*[jnp.asarray(np.asarray(x)[rows[ci]]) for x in hypers])
+    vl_ref, va_ref = jax.jit(jax.vmap(
+        lambda s, ek, vk, hh: trainer._sweep_run(
+            s, ek, vk, hh, ones, ones, trainer.batch_size
+        ),
+        in_axes=(0, 0, 0, 0),
+    ))(states, ep_keys, val_keys, h)
+
+    np.testing.assert_allclose(
+        np.asarray(vl), np.asarray(vl_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(va_ref))
