@@ -28,6 +28,14 @@ class SplitView:
     """One split's gathered tensors (reference ``DB23.load_valid``,
     ``load.py:233-251``).
 
+    Registered as a pytree (arrays are leaves, geometry is static aux data)
+    so views are passed to jitted programs as *arguments*. Closing over them
+    instead bakes the whole split tensor into the HLO as a literal — the
+    lowered module grows by ~2 bytes per data byte, every fresh process
+    recompiles (the compile-cache key covers the baked data), and the remote
+    compile service chews through multi-hundred-MB modules (measured 480 s
+    cold compiles of the sweep program on v5e before this change).
+
     Attributes:
       emg_flat:   (n_tasks·P·R·output_dim … flattened frames, emg_dim) — the
                   reference's ``EMG_use``; indexed by the sampler in train.
@@ -64,6 +72,16 @@ class SplitView:
             )
             b = per_task[2][1]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+jax.tree_util.register_dataclass(
+    SplitView,
+    data_fields=["emg_flat", "emg_groups", "glove_flat"],
+    meta_fields=[
+        "split", "n_tasks", "n_people", "n_reps", "output_dim",
+        "D", "D_glove", "train",
+    ],
+)
 
 
 class DeviceStore:

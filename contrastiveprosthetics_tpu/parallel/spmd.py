@@ -69,7 +69,10 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
             tree,
         )
 
-    vmapped = jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None))
+    # the train view rides along as a replicated ARGUMENT (in_axes=None,
+    # in_specs=P()) — closing over it would bake the split tensor into the
+    # HLO as a literal (see engine._train_epoch's note)
+    vmapped = jax.vmap(trainer._train_epoch, in_axes=(0, 0, 0, None, None, None))
 
     cfg_spec = P("dp")
     rep_spec = P()
@@ -98,12 +101,13 @@ def make_sharded_crossval_epoch(trainer: Trainer, mesh):
                         spec_like(hypers, cfg_spec),
                         rep_spec,
                         rep_spec,
+                        rep_spec,
                     ),
                     out_specs=(spec_like(states, cfg_spec), cfg_spec, cfg_spec),
                     check_vma=False,
                 )
             )
-        return cache[sig](states, keys, hypers, f_e, f_g)
+        return cache[sig](states, keys, hypers, f_e, f_g, trainer.view_train)
 
     def place(tree):
         return jax.device_put(tree, cfg_sharding_for(tree))
@@ -129,11 +133,12 @@ def make_sharded_crossval_run(trainer: Trainer, mesh, val_batch_size: int):
             tree,
         )
 
+    # views ride along as replicated ARGUMENTS — see engine._train_epoch
     vmapped = jax.vmap(
-        lambda s, ek, vk, h, fe, fg: trainer._sweep_run(
-            s, ek, vk, h, fe, fg, val_batch_size
+        lambda s, ek, vk, h, fe, fg, tv, vv: trainer._sweep_run(
+            s, ek, vk, h, fe, fg, tv, vv, val_batch_size
         ),
-        in_axes=(0, 0, 0, 0, None, None),
+        in_axes=(0, 0, 0, 0, None, None, None, None),
     )
 
     cfg_spec = P("dp")
@@ -158,12 +163,17 @@ def make_sharded_crossval_run(trainer: Trainer, mesh, val_batch_size: int):
                         spec_like(hypers, cfg_spec),
                         rep_spec,
                         rep_spec,
+                        rep_spec,
+                        rep_spec,
                     ),
                     out_specs=(cfg_spec, cfg_spec),
                     check_vma=False,
                 )
             )
-        return cache[sig](states, ep_keys, val_keys, hypers, f_e, f_g)
+        return cache[sig](
+            states, ep_keys, val_keys, hypers, f_e, f_g,
+            trainer.view_train, trainer.view_val,
+        )
 
     def place(tree):
         return jax.device_put(tree, cfg_sharding_for(tree))
@@ -177,11 +187,14 @@ def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
     shard_map formulation (and rationale) as the sharded epoch."""
     from jax import shard_map
 
+    # the val view rides along as a replicated ARGUMENT — see
+    # engine._train_epoch
     vmapped = jax.vmap(
-        lambda s, k, h: trainer._evaluate_scalars(s, k, h, "val", batch_size),
-        in_axes=(0, 0, 0),
+        lambda s, k, h, vv: trainer._evaluate_scalars(s, k, h, vv, batch_size),
+        in_axes=(0, 0, 0, None),
     )
     cfg_spec = P("dp")
+    rep_spec = P()
 
     def spec_like(tree, spec):
         return jax.tree_util.tree_map(lambda _: spec, tree)
@@ -200,11 +213,12 @@ def make_sharded_crossval_eval(trainer: Trainer, mesh, batch_size: int):
                         spec_like(states, cfg_spec),
                         cfg_spec,
                         spec_like(hypers, cfg_spec),
+                        rep_spec,
                     ),
                     out_specs=(cfg_spec, cfg_spec),
                     check_vma=False,
                 )
             )
-        return cache[sig](states, keys, hypers)
+        return cache[sig](states, keys, hypers, trainer.view_val)
 
     return eval_fn

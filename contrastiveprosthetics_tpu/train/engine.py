@@ -15,6 +15,7 @@ into a single XLA program training all configs simultaneously (see
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
@@ -252,9 +253,15 @@ class Trainer:
         return TrainState(new_params, new_bs, opt_emg, opt_glove), loss, acc
 
     def _train_epoch(self, state: TrainState, key: jax.Array, hyper: Hyper,
-                     lr_emg_factor, lr_glove_factor):
-        """One full epoch: permutations + batch scan, all on device."""
-        v = self.view_train
+                     lr_emg_factor, lr_glove_factor, view):
+        """One full epoch: permutations + batch scan, all on device.
+
+        ``view`` (the train SplitView) is an *argument*, not a closure
+        capture: closed-over ``jax.Array``s are baked into the lowered HLO
+        as literals, which makes every program's compile-cache key depend on
+        the dataset bytes and ships the whole store to the compile service
+        (measured 480 s cold compiles per process on v5e)."""
+        v = view
         k_perm, k_glove, k_order, k_drop = jax.random.split(key, 4)
         emg_rand = task_permutations(k_perm, v.n_tasks, v.D)
         glove_rand = task_permutations(k_glove, v.n_tasks, v.D_glove)
@@ -291,10 +298,11 @@ class Trainer:
         return self._train_epoch_jit(
             state, key, hyper,
             jnp.float32(lr_emg_factor), jnp.float32(lr_glove_factor),
+            self.view_train,
         )
 
     def _train_epochs(self, state: TrainState, keys: jax.Array, hyper: Hyper,
-                      emg_factors, glove_factors):
+                      emg_factors, glove_factors, view):
         """A whole multi-epoch run as ONE jitted program: ``lax.scan`` over
         epochs with per-epoch keys and the schedule factors
         (train/schedules.py) as scanned arrays. Amortizes per-epoch
@@ -308,13 +316,15 @@ class Trainer:
             # identical semantics, and XLA:CPU runs sizeable scan bodies
             # ~20× slower than straight-line code (see _train_epoch)
             state, loss, acc = self._train_epoch(
-                state, keys[0], hyper, emg_factors[0], glove_factors[0]
+                state, keys[0], hyper, emg_factors[0], glove_factors[0], view
             )
             return state, loss[None], acc[None]
 
         def body(carry, xs):
             k, f_e, f_g = xs
-            new_state, loss, acc = self._train_epoch(carry, k, hyper, f_e, f_g)
+            new_state, loss, acc = self._train_epoch(
+                carry, k, hyper, f_e, f_g, view
+            )
             return new_state, (loss, acc)
 
         state, (losses, accs) = jax.lax.scan(
@@ -333,11 +343,13 @@ class Trainer:
             state, keys, hyper,
             jnp.asarray(emg_factors, jnp.float32),
             jnp.asarray(glove_factors, jnp.float32),
+            self.view_train,
         )
 
     def _sweep_run(self, state: TrainState, ep_keys: jax.Array,
                    val_key: jax.Array, hyper: Hyper, emg_factors,
-                   glove_factors, val_batch_size: int):
+                   glove_factors, train_view, val_view,
+                   val_batch_size: int):
         """One config's ENTIRE crossval run — every epoch (``_train_epochs``
         scan) plus the final metrics-only validation — as one traceable
         function. ``train/crossval.py`` vmaps this over the config axis and
@@ -347,14 +359,15 @@ class Trainer:
         ``train_epochs`` gives single runs, applied to the sweep —
         VERDICT r1 next-round #2). Returns (val_loss, val_acc)."""
         state, _, _ = self._train_epochs(
-            state, ep_keys, hyper, emg_factors, glove_factors
+            state, ep_keys, hyper, emg_factors, glove_factors, train_view
         )
         return self._evaluate_scalars(
-            state, val_key, hyper, "val", val_batch_size
+            state, val_key, hyper, val_view, val_batch_size
         )
 
     def _sweep_chunk_at(self, hypers_chunks: Hyper, ci: jax.Array,
                         key: jax.Array, emg_factors, glove_factors,
+                        train_view, val_view,
                         val_batch_size: int, chunk: int):
         """One sweep chunk, fully in-graph: slice chunk ``ci`` out of the
         device-resident chunk table, derive its keys from the chunk-start
@@ -389,7 +402,8 @@ class Trainer:
         val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), chunk)
         return jax.vmap(
             lambda s, ek, vk, hh: self._sweep_run(
-                s, ek, vk, hh, emg_factors, glove_factors, val_batch_size
+                s, ek, vk, hh, emg_factors, glove_factors,
+                train_view, val_view, val_batch_size
             ),
         )(states, ep_keys, val_keys, h)
 
@@ -403,26 +417,31 @@ class Trainer:
         before the compile cache even matters."""
         sig = (chunk, val_batch_size)
         if sig not in self._sweep_jit:
-            self._sweep_jit[sig] = jax.jit(
-                partial(
-                    self._sweep_chunk_at,
-                    val_batch_size=val_batch_size,
-                    chunk=chunk,
-                )
+            fn = partial(
+                self._sweep_chunk_at,
+                val_batch_size=val_batch_size,
+                chunk=chunk,
             )
+            # carry the name through partial so the compiled module (and its
+            # persistent-cache entries) read jit__sweep_chunk_at, not
+            # jit__unknown
+            functools.update_wrapper(fn, self._sweep_chunk_at)
+            self._sweep_jit[sig] = jax.jit(fn)
         return self._sweep_jit[sig](
-            hypers_chunks, ci, key, emg_factors, glove_factors
+            hypers_chunks, ci, key, emg_factors, glove_factors,
+            self.view_train, self.view_val,
         )
 
     # ------------------------------------------------------------------ eval
     def _evaluate(self, state: TrainState, key: jax.Array, hyper: Hyper,
-                  split: str, batch_size: int) -> EvalResult:
+                  view, batch_size: int) -> EvalResult:
         """Full-split evaluation. Every item is evaluated exactly once: a
         trailing partial batch is padded by wrapping (DataLoader
         drop_last=False semantics, train.py:32,51) and pad duplicates are
         weighted out of the loss; per-item outputs are un-shuffled back to
-        item order through a full-length inverse permutation."""
-        v = {"val": self.view_val, "test": self.view_test}[split]
+        item order through a full-length inverse permutation. ``view`` is
+        the split's SplitView, passed as an argument (see _train_epoch)."""
+        v = view
         cfg = self.cfg
         W = cfg.prediction_window_size
         n_prefix = cfg.n_voting_cols
@@ -504,14 +523,14 @@ class Trainer:
         )
 
     def _evaluate_scalars(self, state: TrainState, key: jax.Array,
-                          hyper: Hyper, split: str, batch_size: int):
+                          hyper: Hyper, view, batch_size: int):
         """Metrics-only eval (no artifact tensors) — the vmap-friendly inner
         loop of the crossval sweep."""
-        res = self._evaluate(state, key, hyper, split, batch_size)
+        res = self._evaluate(state, key, hyper, view, batch_size)
         return res.loss, res.accuracy
 
     def _evaluate_per_subject(self, state: TrainState, key: jax.Array,
-                              hyper: Hyper, split: str) -> EvalResult:
+                              hyper: Hyper, view) -> EvalResult:
         """True per-subject AdaBN evaluation: one eval batch per subject, so
         batch statistics are re-estimated from that subject's windows only.
 
@@ -526,7 +545,7 @@ class Trainer:
         rows are therefore in true (person, rep, group) item order.
         """
         del key  # deterministic: identity indexing, contiguous blocks
-        v = {"val": self.view_val, "test": self.view_test}[split]
+        v = view
         per_subject = v.D // v.n_people
         # batches = per-subject contiguous item blocks, no shuffling needed
         items = jnp.arange(v.D).reshape(v.n_people, per_subject)
@@ -566,21 +585,21 @@ class Trainer:
         )
 
     def evaluate_per_subject(self, state, key, hyper, split="test") -> EvalResult:
-        sig = ("per_subject", split)
+        sig = "per_subject"
         if sig not in self._eval_jit:
-            self._eval_jit[sig] = jax.jit(
-                partial(self._evaluate_per_subject, split=split)
-            )
-        return self._eval_jit[sig](state, key, hyper)
+            self._eval_jit[sig] = jax.jit(self._evaluate_per_subject)
+        view = {"val": self.view_val, "test": self.view_test}[split]
+        return self._eval_jit[sig](state, key, hyper, view)
 
     def evaluate(self, state, key, hyper, split="val",
                  batch_size: Optional[int] = None) -> EvalResult:
         # reference: val batches = bs, test batches = bs·8 (train.py:32,51)
         if batch_size is None:
             batch_size = self.batch_size if split == "val" else self.batch_size * 8
-        sig = (split, batch_size)
+        sig = batch_size
         if sig not in self._eval_jit:
             self._eval_jit[sig] = jax.jit(
-                partial(self._evaluate, split=split, batch_size=batch_size)
+                partial(self._evaluate, batch_size=batch_size)
             )
-        return self._eval_jit[sig](state, key, hyper)
+        view = {"val": self.view_val, "test": self.view_test}[split]
+        return self._eval_jit[sig](state, key, hyper, view)

@@ -55,17 +55,20 @@ def time_sweep(trainer, hypers, with_eval=True, label=""):
     ones = jnp.ones((EPOCHS,), jnp.float32)
     if with_eval:
         fn = jax.jit(jax.vmap(
-            lambda s, ek, vk, h: trainer._sweep_run(
-                s, ek, vk, h, ones, ones, trainer.batch_size),
-            in_axes=(0, 0, 0, 0),
+            lambda s, ek, vk, h, tv, vv: trainer._sweep_run(
+                s, ek, vk, h, ones, ones, tv, vv, trainer.batch_size),
+            in_axes=(0, 0, 0, 0, None, None),
         ))
-        dt = bench(fn, states, ep_keys, val_keys, hypers, label=label)
+        dt = bench(fn, states, ep_keys, val_keys, hypers,
+                   trainer.view_train, trainer.view_val, label=label)
     else:
         fn = jax.jit(jax.vmap(
-            lambda s, ek, h: trainer._train_epochs(s, ek, h, ones, ones),
-            in_axes=(0, 0, 0),
+            lambda s, ek, h, tv: trainer._train_epochs(
+                s, ek, h, ones, ones, tv),
+            in_axes=(0, 0, 0, None),
         ))
-        dt = bench(fn, states, ep_keys, hypers, label=label)
+        dt = bench(fn, states, ep_keys, hypers, trainer.view_train,
+                   label=label)
     v = trainer.view_train
     wps = n * EPOCHS * v.D * v.n_tasks / dt
     print(f"{'':18s}   → {wps:,.0f} windows/s", file=sys.stderr, flush=True)

@@ -43,14 +43,14 @@ def main():
     )
     ones = jnp.ones((EPOCHS,), jnp.float32)
     fn = jax.jit(jax.vmap(
-        lambda s, ek, h: trainer._train_epochs(s, ek, h, ones, ones),
-        in_axes=(0, 0, 0),
+        lambda s, ek, h, tv: trainer._train_epochs(s, ek, h, ones, ones, tv),
+        in_axes=(0, 0, 0, None),
     ))
-    out = fn(states, ep_keys, hypers)
+    out = fn(states, ep_keys, hypers, trainer.view_train)
     jax.block_until_ready(out)
 
     jax.profiler.start_trace(LOGDIR, create_perfetto_trace=True)
-    out = fn(states, ep_keys, hypers)
+    out = fn(states, ep_keys, hypers, trainer.view_train)
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
 

@@ -126,11 +126,11 @@ def test_sweep_chunk_at_matches_manual_formulation(trainer):
     val_keys = jax.random.split(jax.random.fold_in(k_chunk, 999), chunk)
     h = Hyper(*[jnp.asarray(np.asarray(x)[rows[ci]]) for x in hypers])
     vl_ref, va_ref = jax.jit(jax.vmap(
-        lambda s, ek, vk, hh: trainer._sweep_run(
-            s, ek, vk, hh, ones, ones, trainer.batch_size
+        lambda s, ek, vk, hh, tv, vv: trainer._sweep_run(
+            s, ek, vk, hh, ones, ones, tv, vv, trainer.batch_size
         ),
-        in_axes=(0, 0, 0, 0),
-    ))(states, ep_keys, val_keys, h)
+        in_axes=(0, 0, 0, 0, None, None),
+    ))(states, ep_keys, val_keys, h, trainer.view_train, trainer.view_val)
 
     np.testing.assert_allclose(
         np.asarray(vl), np.asarray(vl_ref), rtol=1e-5, atol=1e-6

@@ -140,9 +140,12 @@ def test_config_sharded_crossval_epoch(trainer, hyper):
     assert np.isfinite(np.asarray(losses)).all()
     # correctness: sharded == single-device vmapped epoch
     states2 = jax.vmap(tr.init_state)(keys)
-    vmapped = jax.vmap(tr._train_epoch, in_axes=(0, 0, 0, None, None))
+    vmapped = jax.vmap(
+        tr._train_epoch, in_axes=(0, 0, 0, None, None, None)
+    )
     _, losses_ref, _ = jax.jit(vmapped)(
-        states2, keys, hypers, jnp.float32(1.0), jnp.float32(1.0)
+        states2, keys, hypers, jnp.float32(1.0), jnp.float32(1.0),
+        tr.view_train,
     )
     np.testing.assert_allclose(
         np.asarray(losses), np.asarray(losses_ref), rtol=1e-4, atol=1e-5
