@@ -101,6 +101,14 @@ class DeviceStore:
         device: Optional[jax.Device] = None,
     ):
         self.cfg = cfg
+        # remembered so Trainer.init_state can COMMIT fresh states to the
+        # same device: with the views committed (device_put) and a fresh
+        # state uncommitted, jit sees two argument-sharding signatures —
+        # (Unspecified…, committed view) on the first call and (committed…,
+        # committed view) once the program's own committed output is fed
+        # back — and lowers/compiles the whole program twice (measured
+        # 13.5 s per extra lowering of the 5-epoch program on v5e)
+        self.device = device
         if device is not None:
             self.emg = jax.device_put(jnp.asarray(emg_tasks_first, jnp.float32), device)
         else:

@@ -152,13 +152,14 @@ class Trainer:
         self.view_val = self.store.view("val", db2=self.db2)
         self.view_test = self.store.view("test", db2=self.db2)
         self._opt = optax.scale_by_adam()
+        self._init_jit = None
         self._train_epoch_jit = None
         self._train_epochs_jit = None
         self._eval_jit = {}
         self._sweep_jit = {}
 
     # ------------------------------------------------------------------ init
-    def init_state(self, key: jax.Array) -> TrainState:
+    def _init_state(self, key: jax.Array) -> TrainState:
         T = self.view_train.n_tasks
         emg = jnp.zeros((2, T, self.cfg.emg_dim), jnp.float32)
         glove = jnp.zeros((2, T, self.cfg.glove_dim), jnp.float32)
@@ -177,6 +178,30 @@ class Trainer:
             opt_emg=self._opt.init(params["emg_net"]),
             opt_glove=self._opt.init(params["glove_net"]),
         )
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        """A fresh TrainState, built as ONE jitted program.
+
+        Un-jitted flax ``model.init`` + optax init dispatch each parameter
+        as its own tiny program — ~28 s of round-trips on the
+        remote-attached TPU vs one dispatch here. Composable under
+        vmap/jit (the inner jit inlines; the sweep vmaps this in-graph,
+        ``_sweep_chunk_at``)."""
+        if self._init_jit is None:
+            self._init_jit = jax.jit(self._init_state)
+        state = self._init_jit(key)
+        # Commit the state to the store's device when the store is committed:
+        # the views are committed jit arguments, which makes every program
+        # output committed — an UNcommitted fresh state would then give the
+        # first call a different argument-sharding signature than all later
+        # calls and double-compile every train/eval program (13.5 s per extra
+        # lowering of the 5-epoch program on v5e; see DeviceStore.device).
+        # Skipped while tracing (vmapped in-graph init in the sweep).
+        if self.store.device is not None and not isinstance(
+            key, jax.core.Tracer
+        ):
+            state = jax.device_put(state, self.store.device)
+        return state
 
     # ------------------------------------------------------------- train step
     def _loss_and_metrics(self, params, batch_stats, emg_b, glove_b, hyper,

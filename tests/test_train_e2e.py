@@ -322,3 +322,37 @@ def test_bf16_mixed_precision_trains(store, hyper):
     res = trainer.evaluate(state, jax.random.PRNGKey(32), hyper, split="val")
     assert res.logits.dtype == jnp.float32
     assert np.isfinite(float(res.loss))
+
+
+def test_committed_store_single_lowering(hyper):
+    """With a device-committed store, fresh-state and returned-state calls
+    must share ONE lowering of the epoch program.
+
+    The views are committed jit arguments, so program outputs come back
+    committed; if ``init_state`` returned uncommitted arrays the second
+    call would present a different argument-sharding signature and trigger
+    a full second XLA compilation (measured 13.5 s for the 5-epoch program
+    on v5e)."""
+    emg, pos, glove = make_processed_dataset(
+        CFG, people_positions=[40, 41], separability=6.0, seed=5
+    )
+    dev = jax.devices()[0]
+    store = DeviceStore(CFG, emg, pos, glove, device=dev)
+    trainer = Trainer(
+        CFG, store, adabn=False, batch_size=store.view("train").D,
+        n_linear=2, hidden=64,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    # committed exactly like the program's own outputs
+    assert all(
+        leaf.committed for leaf in jax.tree_util.tree_leaves(state)
+    ), "init_state must commit the state when the store is committed"
+    n = 1  # single epoch: the scan-free branch (XLA:CPU scan pathology)
+    ones = np.ones(n, np.float32)
+    for i in range(2):  # fresh state, then the returned (committed) state
+        state, losses, _ = trainer.train_epochs(
+            state, jax.random.split(jax.random.PRNGKey(i), n), hyper,
+            ones, ones,
+        )
+    jax.block_until_ready(losses)
+    assert trainer._train_epochs_jit._cache_size() == 1
