@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the session axis over all visible devices "
                         "(multi-chip serving; zero inter-chip traffic). "
                         "No-op on a single device")
+    p.add_argument("--replay", action="store_true",
+                   help="offline replay: process the whole recording as ONE "
+                        "device dispatch (lax.scan tick chain) instead of "
+                        "simulating real-time ticks — identical outputs, "
+                        "pays the host round trip once per recording")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -167,16 +172,26 @@ def main(argv=None):
             print("calibrated BN statistics from "
                   f"{args.calibrate or 'recording'}")
         carry = engine.init_carry()
-        preds = np.empty((1, n_blocks), np.int32)
-        votes = np.empty((1, n_blocks), np.int32)
         lat = []
-        for i in range(n_blocks):
-            block = raw[0, i * cfg.factor:(i + 1) * cfg.factor]
+        if args.replay:
+            blocks = np.ascontiguousarray(
+                raw[0, : n_blocks * cfg.factor]
+            ).reshape(n_blocks, cfg.factor, -1)
             t0 = time.perf_counter()
-            carry, p, v, _ = engine.step(carry, block, subset_mask)
-            votes[0, i] = int(v)   # blocks until the tick result is host-side
+            _, p, v = engine.steps(carry, blocks, subset_mask)
+            votes = np.asarray(v)[None]
             lat.append(time.perf_counter() - t0)
-            preds[0, i] = int(p)
+            preds = np.asarray(p)[None]
+        else:
+            preds = np.empty((1, n_blocks), np.int32)
+            votes = np.empty((1, n_blocks), np.int32)
+            for i in range(n_blocks):
+                block = raw[0, i * cfg.factor:(i + 1) * cfg.factor]
+                t0 = time.perf_counter()
+                carry, p, v, _ = engine.step(carry, block, subset_mask)
+                votes[0, i] = int(v)   # blocks until the result is host-side
+                lat.append(time.perf_counter() - t0)
+                preds[0, i] = int(p)
     else:
         import jax
 
@@ -202,23 +217,41 @@ def main(argv=None):
             if subset_mask is not None else None
         )
         carries = engine.init_carries()
-        preds = np.empty((S, n_blocks), np.int32)
-        votes = np.empty((S, n_blocks), np.int32)
         lat = []
-        for i in range(n_blocks):
-            blocks = raw[:, i * cfg.factor:(i + 1) * cfg.factor]
+        if args.replay:
+            seq = np.ascontiguousarray(
+                raw[:, : n_blocks * cfg.factor]
+            ).reshape(S, n_blocks, cfg.factor, -1)
+            seq = np.moveaxis(seq, 0, 1)  # (n_blocks, S, factor, emg)
             t0 = time.perf_counter()
-            carries, p, v, _ = engine.step(carries, blocks, masks)
-            votes[:, i] = np.asarray(v)
+            _, p, v = engine.steps(carries, seq, masks)
+            votes = np.asarray(v).T
             lat.append(time.perf_counter() - t0)
-            preds[:, i] = np.asarray(p)
+            preds = np.asarray(p).T
+        else:
+            preds = np.empty((S, n_blocks), np.int32)
+            votes = np.empty((S, n_blocks), np.int32)
+            for i in range(n_blocks):
+                blocks = raw[:, i * cfg.factor:(i + 1) * cfg.factor]
+                t0 = time.perf_counter()
+                carries, p, v, _ = engine.step(carries, blocks, masks)
+                votes[:, i] = np.asarray(v)
+                lat.append(time.perf_counter() - t0)
+                preds[:, i] = np.asarray(p)
 
-    lat_ms = np.array(lat[1:]) * 1e3  # drop the compile tick
     budget = 1000.0 * cfg.factor / cfg.hz
-    print(f"streamed {n_blocks} ticks × {S} session(s): "
-          f"p50 {np.percentile(lat_ms, 50):.3f} ms/tick, "
-          f"p99 {np.percentile(lat_ms, 99):.3f} ms "
-          f"(budget {budget:.0f} ms)")
+    if args.replay:
+        lat_ms = np.array(lat) * 1e3
+        dt = float(lat[0])
+        print(f"replayed {n_blocks} ticks × {S} session(s) in ONE dispatch: "
+              f"{dt*1e3:.1f} ms total (incl. compile on first run), "
+              f"{dt/n_blocks*1e6:.1f} µs/tick amortized")
+    else:
+        lat_ms = np.array(lat[1:]) * 1e3  # drop the compile tick
+        print(f"streamed {n_blocks} ticks × {S} session(s): "
+              f"p50 {np.percentile(lat_ms, 50):.3f} ms/tick, "
+              f"p99 {np.percentile(lat_ms, 99):.3f} ms "
+              f"(budget {budget:.0f} ms)")
     for s in range(min(S, 4)):
         final = int(votes[s, -1])
         uniq, cnt = np.unique(votes[s], return_counts=True)

@@ -138,6 +138,7 @@ class StreamingEngine:
         self._dev_vars = jax.device_put(variables)
         self._dev_class_emb = jax.device_put(self._class_emb)
         self._step = jax.jit(self._tick, donate_argnums=(0,))
+        self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ state
     def init_carry(self) -> StreamCarry:
@@ -224,6 +225,45 @@ class StreamingEngine:
             self._std,
         )
 
+    def _tick_chain(self, carry: StreamCarry, blocks: jax.Array,
+                    subset_mask: jax.Array, variables, class_emb, sos,
+                    mean, std):
+        """K ticks as ONE ``lax.scan`` dispatch — identical semantics to K
+        sequential :meth:`_tick` calls (the scan body IS ``_tick``)."""
+
+        def body(c, block):
+            c, pred, vote, _ = self._tick(
+                c, block, subset_mask, variables, class_emb, sos, mean, std
+            )
+            return c, (pred, vote)
+
+        carry, (preds, votes) = jax.lax.scan(body, carry, blocks)
+        return carry, preds, votes
+
+    def steps(self, carry: StreamCarry, raw_blocks, subset_mask=None):
+        """Process ``(K, factor, emg_dim)`` blocks in ONE device dispatch.
+
+        Offline/batch replay path: same per-tick semantics as K ``step``
+        calls, but the host↔device round trip is paid once per recording
+        instead of once per 10 ms tick — essential on remote-attached
+        devices where each dispatch+sync costs ~30 ms. ``carry`` is
+        DONATED (thread the returned carry forward). Returns
+        (carry, preds (K,), votes (K,))."""
+        if subset_mask is None:
+            subset_mask = jnp.ones(
+                (self._class_emb.shape[0],), dtype=bool
+            )
+        return self._steps_jit(
+            carry,
+            jnp.asarray(raw_blocks, jnp.float32),
+            jnp.asarray(subset_mask),
+            self._dev_vars,
+            self._dev_class_emb,
+            self._sos,
+            self._mean,
+            self._std,
+        )
+
     def preprocess_recording(self, raw_recording: np.ndarray) -> jax.Array:
         """Offline preprocessing of a raw 2 kHz recording (T, emg_dim) into
         normalized frames — the ingest pipeline (filter → RMS → downsample →
@@ -250,16 +290,15 @@ class StreamingEngine:
 
     def run(self, raw: np.ndarray, subset_mask=None):
         """Convenience: stream a whole recording (T, emg_dim); returns
-        per-block (preds, votes)."""
+        per-block (preds, votes). Uses the one-dispatch :meth:`steps`
+        chain (per-tick ``step`` equality is pinned by
+        tests/test_serve.py::test_steps_chain_matches_step_loop)."""
         cfg = self.cfg
         n_blocks = raw.shape[0] // cfg.factor
-        carry = self.init_carry()
-        preds, votes = [], []
-        for i in range(n_blocks):
-            block = raw[i * cfg.factor : (i + 1) * cfg.factor]
-            carry, p, v, _ = self.step(carry, block, subset_mask)
-            preds.append(int(p))
-            votes.append(int(v))
+        blocks = np.asarray(
+            raw[: n_blocks * cfg.factor], np.float32
+        ).reshape(n_blocks, cfg.factor, -1)
+        _, preds, votes = self.steps(self.init_carry(), blocks, subset_mask)
         return np.asarray(preds), np.asarray(votes)
 
 
@@ -319,13 +358,12 @@ class BatchedStreamingEngine:
         )
         var_axes = {k: None for k in variables if k != "batch_stats"}
         var_axes["batch_stats"] = 0
-        self._step = jax.jit(
-            jax.vmap(
-                self._single._tick,
-                in_axes=(0, 0, 0, var_axes, None, None, None, None),
-            ),
-            donate_argnums=(0,),
+        self._vmapped_tick = jax.vmap(
+            self._single._tick,
+            in_axes=(0, 0, 0, var_axes, None, None, None, None),
         )
+        self._step = jax.jit(self._vmapped_tick, donate_argnums=(0,))
+        self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
 
     def _place_sessions(self, tree):
         """Shard the leading (session) axis over the mesh's dp dimension;
@@ -360,7 +398,7 @@ class BatchedStreamingEngine:
 
         All sessions share one compiled calibration program (the
         lru-cached jit in :func:`recalibrate_batch_stats`): calibrating N
-        sessions costs one compile, not N — essential at the ~900
+        sessions costs one compile, not N — essential at the hundreds of
         sessions/chip the batched tick supports."""
         variables = dict(self._params)
         variables["batch_stats"] = jax.tree_util.tree_map(
@@ -392,6 +430,49 @@ class BatchedStreamingEngine:
         return self._step(
             carries,
             self._place_sessions(jnp.asarray(raw_blocks, jnp.float32)),
+            self._place_sessions(jnp.asarray(subset_masks)),
+            variables,
+            self._single._dev_class_emb,
+            self._single._sos,
+            self._single._mean,
+            self._single._std,
+        )
+
+    def _tick_chain(self, carries, blocks_seq, subset_masks, variables,
+                    class_emb, sos, mean, std):
+        """K multi-session ticks as ONE ``lax.scan`` dispatch; the scan
+        body is the same vmapped tick ``step`` runs."""
+
+        def body(c, blocks):
+            c, preds, votes, _ = self._vmapped_tick(
+                c, blocks, subset_masks, variables, class_emb, sos, mean, std
+            )
+            return c, (preds, votes)
+
+        carries, (preds, votes) = jax.lax.scan(body, carries, blocks_seq)
+        return carries, preds, votes
+
+    def steps(self, carries: StreamCarry, raw_blocks_seq, subset_masks=None):
+        """Replay ``(K, n_sessions, factor, emg_dim)`` blocks in ONE
+        dispatch (see :meth:`StreamingEngine.steps`). ``carries`` is
+        DONATED. Returns (carries, preds (K, S), votes (K, S))."""
+        C = self._single._class_emb.shape[0]
+        if subset_masks is None:
+            subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)
+        variables = dict(self._params)
+        variables["batch_stats"] = self._batch_stats
+        blocks_seq = jnp.asarray(raw_blocks_seq, jnp.float32)
+        if self._mesh is not None:
+            # session axis is axis 1 here (time leads): shard it over dp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            blocks_seq = jax.device_put(
+                blocks_seq,
+                NamedSharding(self._mesh, P(None, "dp", None, None)),
+            )
+        return self._steps_jit(
+            carries,
+            blocks_seq,
             self._place_sessions(jnp.asarray(subset_masks)),
             variables,
             self._single._dev_class_emb,

@@ -52,6 +52,37 @@ def test_serve_cli_recording_file_and_sessions(tmp_path, capsys):
         assert z["votes"].shape == (2, 10)
 
 
+def test_serve_cli_replay_matches_tick_loop(tmp_path, capsys):
+    """--replay (one-dispatch scan chain) must produce byte-identical
+    preds/votes to the per-tick simulation, single and multi-session."""
+    from contrastiveprosthetics_tpu.cli.serve import main
+
+    rng = np.random.default_rng(2)
+    rec = rng.standard_normal((2, 8 * CFG.factor, CFG.emg_dim)).astype(
+        np.float32
+    )
+    rec_path = tmp_path / "rec.npy"
+    np.save(rec_path, rec)
+    outs = {}
+    for mode, extra in (("tick", []), ("replay", ["--replay"])):
+        for s, sel in (("1", rec[:1]), ("2", rec)):
+            np.save(rec_path, sel if s == "2" else sel[0])
+            out = tmp_path / f"{mode}_{s}.npz"
+            rc = main([
+                "--recording", str(rec_path), "--sessions", s,
+                "--out", str(out), "--quiet", *extra,
+            ])
+            assert rc == 0
+            with np.load(out) as z:
+                outs[(mode, s)] = (z["preds"].copy(), z["votes"].copy())
+    capsys.readouterr()
+    for s in ("1", "2"):
+        np.testing.assert_array_equal(outs[("tick", s)][0],
+                                      outs[("replay", s)][0])
+        np.testing.assert_array_equal(outs[("tick", s)][1],
+                                      outs[("replay", s)][1])
+
+
 def test_serve_cli_session_count_mismatch(tmp_path):
     from contrastiveprosthetics_tpu.cli.serve import main
 

@@ -77,6 +77,36 @@ def test_subset_mask_restricts_predictions(engine, rng):
     assert set(votes.tolist()) <= set(allowed)
 
 
+def test_steps_chain_matches_step_loop(engine, rng):
+    """The one-dispatch ``steps`` scan must be tick-for-tick identical to a
+    per-block ``step`` loop (it is the same ``_tick`` body under
+    ``lax.scan``) — the contract ``run`` and the bench rely on."""
+    K = 8
+    raw = rng.standard_normal((K * 20, 12)).astype(np.float32)
+    mask = np.zeros(41, bool)
+    mask[[1, 5, 9]] = True
+
+    carry = engine.init_carry()
+    want_p, want_v = [], []
+    for i in range(K):
+        carry, p, v, _ = engine.step(carry, raw[i * 20:(i + 1) * 20], mask)
+        want_p.append(int(p))
+        want_v.append(int(v))
+    loop_carry = carry
+
+    chain_carry, preds, votes = engine.steps(
+        engine.init_carry(), raw.reshape(K, 20, 12), mask
+    )
+    assert preds.tolist() == want_p
+    assert votes.tolist() == want_v
+    for a, b in zip(
+        jax.tree_util.tree_leaves(chain_carry),
+        jax.tree_util.tree_leaves(loop_carry),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_vote_stabilizes(engine, rng):
     raw = np.tile(rng.standard_normal((1, 12)).astype(np.float32), (1000, 1))
     preds, votes = engine.run(raw)
@@ -140,6 +170,15 @@ def test_batched_engine_matches_single_sessions(engine, rng):
         np.testing.assert_array_equal(batched_votes[s], votes_s)
     # the restricted session never predicts outside its subset
     assert (batched_votes[1] < 20).all()
+
+    # the one-dispatch batched chain reproduces the per-tick loop
+    blocks_seq = raws.reshape(S, n_blocks, CFG.factor, 12).transpose(
+        1, 0, 2, 3
+    )
+    _, _, chain_votes = batched.steps(
+        batched.init_carries(), blocks_seq, masks
+    )
+    np.testing.assert_array_equal(np.asarray(chain_votes).T, batched_votes)
 
 
 def test_batched_per_session_calibration_is_isolated(engine, rng):
