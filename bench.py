@@ -270,31 +270,61 @@ def phase_train() -> dict:
     store, trainer = _store_trainer(jax, cfg, dev)
     hyper = Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
     key = jax.random.PRNGKey(0)
-    state = trainer.init_state(key)
     v = trainer.view_train
     windows_per_epoch = v.D * v.n_tasks
-    n_epochs = 20  # ~0.8 s of device work: the ~30 ms readback RTT is noise
-    ones = np.ones(n_epochs, np.float32)
-    state, losses, _ = trainer.train_epochs(           # warm-up (compile)
-        state, jax.random.split(jax.random.fold_in(key, 0), n_epochs),
-        hyper, ones, ones
-    )
-    np.asarray(losses)
-    t0 = time.perf_counter()
-    state, losses, _ = trainer.train_epochs(
-        state, jax.random.split(jax.random.fold_in(key, 1), n_epochs),
-        hyper, ones, ones
-    )
-    np.asarray(losses)  # host readback = the only reliable sync here
-    dt = time.perf_counter() - t0
-    train_wps = n_epochs * windows_per_epoch / dt
+
+    def run_epochs(tr, n_epochs: int, best_of: int = 3) -> float:
+        """Best-of-N time for an n_epoch single-dispatch run, to readback."""
+        st = tr.init_state(key)
+        ones = np.ones(n_epochs, np.float32)
+        times = []
+        for i in range(best_of + 1):  # first rep = compile/warm
+            t0 = time.perf_counter()
+            st, losses, _ = tr.train_epochs(
+                st, jax.random.split(jax.random.fold_in(key, i), n_epochs),
+                hyper, ones, ones
+            )
+            np.asarray(losses)  # host readback: the only reliable sync here
+            times.append(time.perf_counter() - t0)
+        return min(times[1:])
+
+    # marginal slope between two scan lengths cancels the fixed
+    # dispatch+readback round trip (~30-65 ms on the tunnel)
+    e_lo, e_hi = 5, 20
+    t_lo, t_hi = run_epochs(trainer, e_lo), run_epochs(trainer, e_hi)
+    train_wps = (e_hi - e_lo) * windows_per_epoch / (t_hi - t_lo)
     print(
-        f"train: {n_epochs} epochs in {dt:.3f}s → {train_wps:,.0f} windows/s "
-        f"(single-dispatch epoch scan, timed to readback)",
+        f"train: marginal {(t_hi - t_lo) / (e_hi - e_lo) * 1e3:.1f} ms/epoch "
+        f"({e_lo} ep {t_lo:.3f}s, {e_hi} ep {t_hi:.3f}s) → "
+        f"{train_wps:,.0f} windows/s (single-dispatch epoch scan, "
+        f"timed to readback)",
         file=sys.stderr,
     )
-    return {"train_windows_per_sec": round(train_wps, 1),
-            "device_kind": dev.device_kind}
+    out = {"train_windows_per_sec": round(train_wps, 1),
+           "device_kind": dev.device_kind}
+
+    # shipped-kernel A/B at the headline geometry: fused Pallas loss vs the
+    # XLA loss (VERDICT r1 #4 — every shipped kernel's winning A/B numbers
+    # belong in the BENCH record)
+    _, tr_xla = _store_trainer(jax, cfg, dev, use_pallas_loss=False)
+    t_lo, t_hi = run_epochs(tr_xla, e_lo), run_epochs(tr_xla, e_hi)
+    xla_wps = (e_hi - e_lo) * windows_per_epoch / (t_hi - t_lo)
+    out["train_loss_ab"] = {"pallas": round(train_wps, 1),
+                            "xla": round(xla_wps, 1)}
+    print(f"train loss A/B: pallas {train_wps:,.0f} vs xla {xla_wps:,.0f} "
+          f"windows/s", file=sys.stderr)
+
+    # peak geometry: batch 128 + bf16 (the MXU-bound regime; the canonical
+    # bs=8 go.sh steps are scheduler-bound — README batch-size table)
+    _, tr_peak = _store_trainer(jax, cfg, dev, batch_size=128,
+                                compute_dtype="bfloat16")
+    t_lo, t_hi = run_epochs(tr_peak, e_lo), run_epochs(tr_peak, e_hi)
+    peak_wps = (e_hi - e_lo) * windows_per_epoch / (t_hi - t_lo)
+    out["train_peak_windows_per_sec"] = round(peak_wps, 1)
+    out["train_peak_geometry"] = "batch_size=128, bf16"
+    print(f"train[peak bs=128 bf16]: {peak_wps:,.0f} windows/s",
+          file=sys.stderr)
+    return out
 
 
 # ====================================================================== eval
@@ -391,6 +421,11 @@ def main():
     if train_wps:
         out["train_tflops"] = round(train_wps * f_train / 1e12, 2)
         out["mfu_train"] = round(mfu(train_wps, f_train, kind)["mfu_bf16"], 4)
+    peak_wps = merged.get("train_peak_windows_per_sec")
+    if peak_wps:
+        out["mfu_train_peak"] = round(
+            mfu(peak_wps, f_train, kind)["mfu_bf16"], 4
+        )
     eval_wps = merged.get("eval_windows_per_sec")
     if eval_wps:
         out["eval_tflops"] = round(eval_wps * f_fwd / 1e12, 2)
