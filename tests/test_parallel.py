@@ -225,6 +225,16 @@ def test_session_sharded_serving_matches_single_chip(rng):
             np.asarray(s_sh), np.asarray(s_pl), rtol=1e-5, atol=1e-6
         )
 
+    # one-dispatch chained replay (steps): session-sharded == single-chip
+    K = 4
+    seq = rng.standard_normal(
+        (K, S, CFG.factor, CFG.emg_dim)
+    ).astype(np.float32)
+    _, p_sh, v_sh = sharded.steps(sharded.init_carries(), seq, masks)
+    _, p_pl, v_pl = plain.steps(plain.init_carries(), seq, masks)
+    np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_pl))
+    np.testing.assert_array_equal(np.asarray(v_sh), np.asarray(v_pl))
+
 
 def test_session_shard_requires_divisible_sessions():
     import jax.numpy as jnp
