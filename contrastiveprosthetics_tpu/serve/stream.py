@@ -19,6 +19,14 @@ Design notes vs the offline path:
   * The subset restriction (the user's chosen grasp set, README.md:15) is a
     score mask — switching subsets is a host-side array update, no
     recompilation.
+
+Perf note (v5e, marginal tick-chain cost): 187 µs/tick single-session.
+Unrolling was A/B'd and rejected — fully unrolling the 20-sample IIR scan
+and 2×-unrolling the tick chain reads 172 µs (−8 %); the tick is bound by
+the 7-layer encoder's sequential 1-row GEMMs, not the DSP, and the
+single-session path has ~50× headroom under the 10 ms budget anyway. The
+multi-session vmapped tick amortizes the layer-chain latency to
+~18 µs/session at 64 sessions.
 """
 from __future__ import annotations
 
