@@ -52,7 +52,7 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_WPS = 7380.0
-PHASES = ("serve", "sweep", "train", "eval")
+PHASES = ("serve", "sweep", "train", "train_peak", "eval")
 
 
 def _setup():
@@ -109,7 +109,13 @@ def phase_serve() -> dict:
     - ``serve_roundtrip_p50_ms``: one tick dispatch→readback including the
       tunnel RTT (what a host-in-the-loop caller would see *through this
       development tunnel*; ``rtt_null_p50_ms`` is the floor a null program
-      pays, so roundtrip−null ≈ device+transfer time)."""
+      pays, so roundtrip−null ≈ device+transfer time).
+
+    Ordering: all small-dispatch metrics (null RTT, single-tick roundtrip)
+    run FIRST — small dispatches degrade ~40× after large programs run in
+    the same process (the repo's measured contamination rule). Chain
+    inputs are device_put OUTSIDE the timed region so the slope measures
+    device work, not O(K) tunnel uploads."""
     jax, cfg, dev = _setup()
     import jax.numpy as jnp
 
@@ -138,9 +144,30 @@ def phase_serve() -> dict:
     rng = np.random.default_rng(0)
     block = rng.standard_normal((cfg.factor, cfg.emg_dim)).astype(np.float32)
 
+    # small-dispatch metric FIRST, before any large chain program runs
+    carry = engine.init_carry()
+    carry, p, v, _ = engine.step(carry, block)  # compile
+    int(v)
+    lat = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        carry, p, v, _ = engine.step(carry, block)
+        int(v)  # host readback: the only reliable sync on this runtime
+        lat.append(time.perf_counter() - t0)
+    out["serve_roundtrip_p50_ms"] = round(float(np.percentile(lat, 50) * 1e3), 2)
+    out["serve_roundtrip_p90_ms"] = round(float(np.percentile(lat, 90) * 1e3), 2)
+    print(f"serve: roundtrip p50 {out['serve_roundtrip_p50_ms']:.2f} ms "
+          f"(p90 {out['serve_roundtrip_p90_ms']:.2f}; includes the "
+          f"{out['rtt_null_p50_ms']:.2f} ms tunnel floor)", file=sys.stderr)
+
     def chain_time(K: int) -> float:
-        """Best-of-3 time for a K-tick one-dispatch chain, to readback."""
-        blocks = np.broadcast_to(block, (K, cfg.factor, cfg.emg_dim))
+        """Best-of-3 time for a K-tick one-dispatch chain, to readback.
+        Input blocks are device-resident before timing starts."""
+        import jax.numpy as _jnp
+
+        blocks = jax.device_put(_jnp.asarray(np.broadcast_to(
+            block, (K, cfg.factor, cfg.emg_dim)
+        )))
         _, _, v = engine.steps(engine.init_carry(), blocks)  # compile
         np.asarray(v)
         best = float("inf")
@@ -159,21 +186,6 @@ def phase_serve() -> dict:
           f"(chains: {k_lo} ticks {t_lo*1e3:.1f} ms, {k_hi} ticks "
           f"{t_hi*1e3:.1f} ms)", file=sys.stderr)
 
-    carry = engine.init_carry()
-    carry, p, v, _ = engine.step(carry, block)  # compile
-    int(v)
-    lat = []
-    for _ in range(100):
-        t0 = time.perf_counter()
-        carry, p, v, _ = engine.step(carry, block)
-        int(v)  # host readback: the only reliable sync on this runtime
-        lat.append(time.perf_counter() - t0)
-    out["serve_roundtrip_p50_ms"] = round(float(np.percentile(lat, 50) * 1e3), 2)
-    out["serve_roundtrip_p90_ms"] = round(float(np.percentile(lat, 90) * 1e3), 2)
-    print(f"serve: roundtrip p50 {out['serve_roundtrip_p50_ms']:.2f} ms "
-          f"(p90 {out['serve_roundtrip_p90_ms']:.2f}; includes the "
-          f"{out['rtt_null_p50_ms']:.2f} ms tunnel floor)", file=sys.stderr)
-
     S = 64
     batched = BatchedStreamingEngine(
         cfg, model, variables,
@@ -186,7 +198,11 @@ def phase_serve() -> dict:
     ).astype(np.float32)
 
     def chain_time_batched(K: int) -> float:
-        seq = np.broadcast_to(blocks64, (K, S, cfg.factor, cfg.emg_dim))
+        import jax.numpy as _jnp
+
+        seq = jax.device_put(_jnp.asarray(np.broadcast_to(
+            blocks64, (K, S, cfg.factor, cfg.emg_dim)
+        )))
         _, _, v = batched.steps(batched.init_carries(), seq)  # compile
         np.asarray(v)
         best = float("inf")
@@ -267,64 +283,104 @@ def phase_train() -> dict:
     jax, cfg, dev = _setup()
     from contrastiveprosthetics_tpu.train.engine import Hyper
 
-    store, trainer = _store_trainer(jax, cfg, dev)
     hyper = Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
     key = jax.random.PRNGKey(0)
-    v = trainer.view_train
-    windows_per_epoch = v.D * v.n_tasks
 
-    def run_epochs(tr, n_epochs: int, best_of: int = 3) -> float:
-        """Best-of-N time for an n_epoch single-dispatch run, to readback."""
+    e_lo, e_hi = 5, 20
+
+    def timed_run(tr, n_epochs: int, seed: int, warm: bool) -> float:
         st = tr.init_state(key)
         ones = np.ones(n_epochs, np.float32)
-        times = []
-        for i in range(best_of + 1):  # first rep = compile/warm
+        t = float("inf")
+        for i in range(2 if warm else 1):  # optional compile/warm rep
+            t0 = time.perf_counter()
+            st, losses, _ = tr.train_epochs(
+                st,
+                jax.random.split(jax.random.fold_in(key, seed + i), n_epochs),
+                hyper, ones, ones,
+            )
+            np.asarray(losses)  # readback: the only reliable sync here
+            t = time.perf_counter() - t0
+        return t
+
+    # A/B of the shipped fused Pallas loss vs the XLA loss (VERDICT r1 #4:
+    # every shipped kernel's winning A/B belongs in the BENCH record).
+    # Trials ALTERNATE impls so both see the same process history (large
+    # programs degrade later large programs in-process — the bench's own
+    # contamination finding); best-of-3 per (impl, length) discards
+    # degraded trials, then ONE marginal slope per impl cancels the fixed
+    # dispatch+readback round trip (~30-65 ms on the tunnel). The headline
+    # is the pallas (default-config) slope.
+    store, tr_pallas = _store_trainer(jax, cfg, dev)
+    _, tr_xla = _store_trainer(jax, cfg, dev, use_pallas_loss=False)
+    v = tr_pallas.view_train
+    # drop-last batching: an epoch trains (D // bs) * bs items
+    wpe = (v.D // tr_pallas.batch_size) * tr_pallas.batch_size * v.n_tasks
+    t_best = {("pallas", e_lo): np.inf, ("pallas", e_hi): np.inf,
+              ("xla", e_lo): np.inf, ("xla", e_hi): np.inf}
+    for trial in range(3):
+        for name, tr in (("pallas", tr_pallas), ("xla", tr_xla)):
+            for n in (e_lo, e_hi):
+                t = timed_run(tr, n, seed=131 * trial, warm=(trial == 0))
+                t_best[(name, n)] = min(t_best[(name, n)], t)
+    best = {
+        name: (e_hi - e_lo) * wpe
+        / (t_best[(name, e_hi)] - t_best[(name, e_lo)])
+        for name in ("pallas", "xla")
+    }
+    train_wps = best["pallas"]
+    print(
+        f"train: {train_wps:,.0f} windows/s (marginal single-dispatch epoch "
+        f"scan, timed to readback); loss A/B pallas {best['pallas']:,.0f} "
+        f"vs xla {best['xla']:,.0f}",
+        file=sys.stderr,
+    )
+    return {
+        "train_windows_per_sec": round(train_wps, 1),
+        "device_kind": dev.device_kind,
+        "train_loss_ab": {k: round(x, 1) for k, x in best.items()},
+    }
+
+
+# ================================================================ train peak
+def phase_train_peak() -> dict:
+    """Peak-geometry training (batch 128 + bf16, the MXU-bound regime; the
+    canonical bs=8 go.sh steps are scheduler-bound — README batch-size
+    table). Own subprocess: large programs lose 40-70 % after other large
+    programs in-process."""
+    jax, cfg, dev = _setup()
+    from contrastiveprosthetics_tpu.train.engine import Hyper
+
+    hyper = Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
+    key = jax.random.PRNGKey(0)
+    _, tr = _store_trainer(jax, cfg, dev, batch_size=128,
+                           compute_dtype="bfloat16")
+    v = tr.view_train
+    wpe = (v.D // tr.batch_size) * tr.batch_size * v.n_tasks
+
+    def run(n_epochs: int) -> float:
+        st = tr.init_state(key)
+        ones = np.ones(n_epochs, np.float32)
+        best = float("inf")
+        for i in range(3):  # first rep = compile/warm
             t0 = time.perf_counter()
             st, losses, _ = tr.train_epochs(
                 st, jax.random.split(jax.random.fold_in(key, i), n_epochs),
-                hyper, ones, ones
+                hyper, ones, ones,
             )
-            np.asarray(losses)  # host readback: the only reliable sync here
-            times.append(time.perf_counter() - t0)
-        return min(times[1:])
+            np.asarray(losses)
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        return best
 
-    # marginal slope between two scan lengths cancels the fixed
-    # dispatch+readback round trip (~30-65 ms on the tunnel)
     e_lo, e_hi = 5, 20
-    t_lo, t_hi = run_epochs(trainer, e_lo), run_epochs(trainer, e_hi)
-    train_wps = (e_hi - e_lo) * windows_per_epoch / (t_hi - t_lo)
-    print(
-        f"train: marginal {(t_hi - t_lo) / (e_hi - e_lo) * 1e3:.1f} ms/epoch "
-        f"({e_lo} ep {t_lo:.3f}s, {e_hi} ep {t_hi:.3f}s) → "
-        f"{train_wps:,.0f} windows/s (single-dispatch epoch scan, "
-        f"timed to readback)",
-        file=sys.stderr,
-    )
-    out = {"train_windows_per_sec": round(train_wps, 1),
-           "device_kind": dev.device_kind}
-
-    # shipped-kernel A/B at the headline geometry: fused Pallas loss vs the
-    # XLA loss (VERDICT r1 #4 — every shipped kernel's winning A/B numbers
-    # belong in the BENCH record)
-    _, tr_xla = _store_trainer(jax, cfg, dev, use_pallas_loss=False)
-    t_lo, t_hi = run_epochs(tr_xla, e_lo), run_epochs(tr_xla, e_hi)
-    xla_wps = (e_hi - e_lo) * windows_per_epoch / (t_hi - t_lo)
-    out["train_loss_ab"] = {"pallas": round(train_wps, 1),
-                            "xla": round(xla_wps, 1)}
-    print(f"train loss A/B: pallas {train_wps:,.0f} vs xla {xla_wps:,.0f} "
-          f"windows/s", file=sys.stderr)
-
-    # peak geometry: batch 128 + bf16 (the MXU-bound regime; the canonical
-    # bs=8 go.sh steps are scheduler-bound — README batch-size table)
-    _, tr_peak = _store_trainer(jax, cfg, dev, batch_size=128,
-                                compute_dtype="bfloat16")
-    t_lo, t_hi = run_epochs(tr_peak, e_lo), run_epochs(tr_peak, e_hi)
-    peak_wps = (e_hi - e_lo) * windows_per_epoch / (t_hi - t_lo)
-    out["train_peak_windows_per_sec"] = round(peak_wps, 1)
-    out["train_peak_geometry"] = "batch_size=128, bf16"
+    t_lo, t_hi = run(e_lo), run(e_hi)
+    peak_wps = (e_hi - e_lo) * wpe / (t_hi - t_lo)
     print(f"train[peak bs=128 bf16]: {peak_wps:,.0f} windows/s",
           file=sys.stderr)
-    return out
+    return {"train_peak_windows_per_sec": round(peak_wps, 1),
+            "train_peak_geometry": "batch_size=128, bf16"}
 
 
 # ====================================================================== eval
@@ -387,7 +443,8 @@ def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         result = {"serve": phase_serve, "sweep": phase_sweep,
-                  "train": phase_train, "eval": phase_eval}[phase]()
+                  "train": phase_train, "train_peak": phase_train_peak,
+                  "eval": phase_eval}[phase]()
         print(json.dumps(result))
         return
 

@@ -241,13 +241,18 @@ def main(argv=None):
 
     budget = 1000.0 * cfg.factor / cfg.hz
     if args.replay:
-        lat_ms = np.array(lat) * 1e3
+        # one dispatch for the whole recording: no per-tick latencies exist.
+        # Save total wall time under its own key, NOT lat_ms — a consumer
+        # percentiling lat_ms must never mistake whole-recording time
+        # (compile included) for a per-tick latency.
         dt = float(lat[0])
+        timing = {"replay_total_ms": np.float64(dt * 1e3)}
         print(f"replayed {n_blocks} ticks × {S} session(s) in ONE dispatch: "
               f"{dt*1e3:.1f} ms total (incl. compile on first run), "
               f"{dt/n_blocks*1e6:.1f} µs/tick amortized")
     else:
         lat_ms = np.array(lat[1:]) * 1e3  # drop the compile tick
+        timing = {"lat_ms": lat_ms}
         print(f"streamed {n_blocks} ticks × {S} session(s): "
               f"p50 {np.percentile(lat_ms, 50):.3f} ms/tick, "
               f"p99 {np.percentile(lat_ms, 99):.3f} ms "
@@ -263,7 +268,7 @@ def main(argv=None):
             print(f"session {s}: final vote class {final}; "
                   f"vote counts: {top}")
     if args.out:
-        np.savez(args.out, preds=preds, votes=votes, lat_ms=lat_ms)
+        np.savez(args.out, preds=preds, votes=votes, **timing)
         print(f"saved preds/votes to {args.out}")
     return 0
 

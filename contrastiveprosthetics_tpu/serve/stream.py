@@ -20,13 +20,13 @@ Design notes vs the offline path:
     score mask — switching subsets is a host-side array update, no
     recompilation.
 
-Perf note (v5e, marginal tick-chain cost): 187 µs/tick single-session.
-Unrolling was A/B'd and rejected — fully unrolling the 20-sample IIR scan
-and 2×-unrolling the tick chain reads 172 µs (−8 %); the tick is bound by
-the 7-layer encoder's sequential 1-row GEMMs, not the DSP, and the
-single-session path has ~50× headroom under the 10 ms budget anyway. The
-multi-session vmapped tick amortizes the layer-chain latency to
-~18 µs/session at 64 sessions.
+Perf note (v5e, marginal tick-chain cost, device-resident inputs):
+177-188 µs/tick single-session. Unrolling was A/B'd and rejected — fully
+unrolling the 20-sample IIR scan and 2×-unrolling the tick chain reads
+172 µs (−8 %); the tick is bound by the 7-layer encoder's sequential
+1-row GEMMs, not the DSP, and the single-session path has ~50× headroom
+under the 10 ms budget anyway. The multi-session vmapped tick amortizes
+the layer-chain latency to 2.6-3.5 µs/session at 64 sessions.
 """
 from __future__ import annotations
 
@@ -217,20 +217,21 @@ class StreamingEngine:
         new_carry = StreamCarry(new_iir, window[1:], votes, n_seen)
         return new_carry, pred, vote, masked
 
-    def step(self, carry: StreamCarry, raw_block, subset_mask=None):
+    def _tick_args(self, subset_mask):
+        """(mask, variables, class_emb, sos, mean, std) — the shared tail
+        of every tick dispatch; single source for step/steps."""
         if subset_mask is None:
             subset_mask = jnp.ones(
                 (self._class_emb.shape[0],), dtype=bool
             )
+        return (jnp.asarray(subset_mask), self._dev_vars,
+                self._dev_class_emb, self._sos, self._mean, self._std)
+
+    def step(self, carry: StreamCarry, raw_block, subset_mask=None):
         return self._step(
             carry,
             jnp.asarray(raw_block, jnp.float32),
-            jnp.asarray(subset_mask),
-            self._dev_vars,
-            self._dev_class_emb,
-            self._sos,
-            self._mean,
-            self._std,
+            *self._tick_args(subset_mask),
         )
 
     def _tick_chain(self, carry: StreamCarry, blocks: jax.Array,
@@ -257,19 +258,10 @@ class StreamingEngine:
         devices where each dispatch+sync costs ~30 ms. ``carry`` is
         DONATED (thread the returned carry forward). Returns
         (carry, preds (K,), votes (K,))."""
-        if subset_mask is None:
-            subset_mask = jnp.ones(
-                (self._class_emb.shape[0],), dtype=bool
-            )
         return self._steps_jit(
             carry,
             jnp.asarray(raw_blocks, jnp.float32),
-            jnp.asarray(subset_mask),
-            self._dev_vars,
-            self._dev_class_emb,
-            self._sos,
-            self._mean,
-            self._std,
+            *self._tick_args(subset_mask),
         )
 
     def preprocess_recording(self, raw_recording: np.ndarray) -> jax.Array:
@@ -430,14 +422,23 @@ class BatchedStreamingEngine:
         forward and never reuse a carries value after passing it in — keep
         a copy (``jax.tree_util.tree_map(jnp.copy, carries)``) if you need
         to replay a tick."""
+        return self._step(
+            carries,
+            self._place_sessions(jnp.asarray(raw_blocks, jnp.float32)),
+            *self._tick_args(subset_masks),
+        )
+
+    def _tick_args(self, subset_masks):
+        """(masks, variables, class_emb, sos, mean, std) — the shared tail
+        of every batched tick dispatch (per-session masks sharded, shared
+        params + per-session batch_stats rebuilt); single source for
+        step/steps."""
         C = self._single._class_emb.shape[0]
         if subset_masks is None:
             subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)
         variables = dict(self._params)
         variables["batch_stats"] = self._batch_stats
-        return self._step(
-            carries,
-            self._place_sessions(jnp.asarray(raw_blocks, jnp.float32)),
+        return (
             self._place_sessions(jnp.asarray(subset_masks)),
             variables,
             self._single._dev_class_emb,
@@ -464,11 +465,6 @@ class BatchedStreamingEngine:
         """Replay ``(K, n_sessions, factor, emg_dim)`` blocks in ONE
         dispatch (see :meth:`StreamingEngine.steps`). ``carries`` is
         DONATED. Returns (carries, preds (K, S), votes (K, S))."""
-        C = self._single._class_emb.shape[0]
-        if subset_masks is None:
-            subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)
-        variables = dict(self._params)
-        variables["batch_stats"] = self._batch_stats
         blocks_seq = jnp.asarray(raw_blocks_seq, jnp.float32)
         if self._mesh is not None:
             # session axis is axis 1 here (time leads): shard it over dp
@@ -481,10 +477,5 @@ class BatchedStreamingEngine:
         return self._steps_jit(
             carries,
             blocks_seq,
-            self._place_sessions(jnp.asarray(subset_masks)),
-            variables,
-            self._single._dev_class_emb,
-            self._single._sos,
-            self._single._mean,
-            self._single._std,
+            *self._tick_args(subset_masks),
         )
