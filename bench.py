@@ -218,12 +218,57 @@ def phase_serve() -> dict:
     tick_ms = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
     out["serve_sessions"] = S
     out["serve_multi_tick_device_ms"] = round(tick_ms, 3)
-    out["serve_sessions_per_chip"] = int(S * 10.0 / tick_ms)
+    # linear extrapolation from S=64 — a conservative floor: per-session
+    # cost FALLS with S (3.7 µs at 64 → 0.2 µs at 4096; capacity study in
+    # docs/SCALING.md measured a 32,768-session tick at 8.2 ms)
+    out["serve_sessions_per_chip_floor"] = int(S * 10.0 / tick_ms)
     print(
         f"serve: {S} concurrent sessions {tick_ms:.3f} ms/tick marginal "
-        f"({tick_ms / S * 1e3:.1f} µs/session; ~"
-        f"{out['serve_sessions_per_chip']:,} sessions/chip at the 10 ms "
-        f"budget)",
+        f"({tick_ms / S * 1e3:.1f} µs/session; ≥"
+        f"{out['serve_sessions_per_chip_floor']:,} sessions/chip floor at "
+        f"the 10 ms budget)",
+        file=sys.stderr,
+    )
+
+    # capacity probe at scale: one large-S tick chain, marginal-timed —
+    # the per-session cost the capacity claim actually rests on
+    S_big = 16384
+    big = BatchedStreamingEngine(
+        cfg, model, variables,
+        emg_mean=np.zeros(cfg.emg_dim, np.float32),
+        emg_std=np.ones(cfg.emg_dim, np.float32),
+        n_sessions=S_big,
+    )
+    blocks_big = rng.standard_normal(
+        (S_big, cfg.factor, cfg.emg_dim)
+    ).astype(np.float32)
+
+    def chain_time_big(K: int) -> float:
+        import jax.numpy as _jnp
+
+        seq = jax.device_put(_jnp.asarray(np.broadcast_to(
+            blocks_big, (K, S_big, cfg.factor, cfg.emg_dim)
+        )))
+        _, _, v = big.steps(big.init_carries(), seq)  # compile
+        np.asarray(v)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, v = big.steps(big.init_carries(), seq)
+            np.asarray(v)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = chain_time_big(3), chain_time_big(10)
+    tick_big_ms = (t_hi - t_lo) / 7 * 1e3
+    out["serve_capacity_sessions"] = S_big
+    out["serve_capacity_tick_ms"] = round(tick_big_ms, 3)
+    out["serve_capacity_in_budget"] = bool(tick_big_ms <= 10.0)
+    print(
+        f"serve: capacity probe — {S_big:,} sessions tick in "
+        f"{tick_big_ms:.2f} ms marginal "
+        f"({tick_big_ms / S_big * 1e3:.2f} µs/session; "
+        f"{'within' if tick_big_ms <= 10 else 'OVER'} the 10 ms budget)",
         file=sys.stderr,
     )
     return out
