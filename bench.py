@@ -456,17 +456,44 @@ def phase_eval() -> dict:
     eval_wps = reps * eval_windows / (time.perf_counter() - t0)
     print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline, timed to "
           f"readback)", file=sys.stderr)
-    return {"eval_windows_per_sec": round(eval_wps, 1)}
+
+    # peak geometry: batch 256 fills the MXU (2624 rows/GEMM at the
+    # reference's bs·8=64 vs 10,496 at 256; flat beyond — measured sweep
+    # 64/256/1024 on v5e)
+    res = trainer.evaluate(state, key, hyper, split="test", batch_size=256)
+    np.asarray(res.loss)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        res = trainer.evaluate(
+            state, jax.random.fold_in(key, 300 + i), hyper, split="test",
+            batch_size=256,
+        )
+    np.asarray(res.loss)
+    eval_peak = reps * eval_windows / (time.perf_counter() - t0)
+    print(f"eval[peak bs=256]: {eval_peak:,.0f} windows/s", file=sys.stderr)
+    return {"eval_windows_per_sec": round(eval_wps, 1),
+            "eval_peak_windows_per_sec": round(eval_peak, 1),
+            "eval_peak_geometry": "batch_size=256"}
 
 
 # ================================================================ orchestrate
 def _run_phase_subprocess(phase: str) -> dict:
-    """One phase in a fresh interpreter; returns its JSON (or an error)."""
+    """One phase in a fresh interpreter; returns its JSON (or an error).
+    A hung phase (e.g. backend init stuck on a dead tunnel) is killed at
+    the timeout and recorded as an error key — it must never sink the
+    whole bench."""
     for attempt in (0, 1):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", phase],
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase],
+                capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            if attempt == 0:
+                print(f"phase {phase} hung past its timeout; retrying once",
+                      file=sys.stderr)
+                continue
+            return {f"{phase}_error": "phase timed out (hung backend?)"}
         sys.stderr.write(r.stderr)
         if r.returncode == 0:
             try:
@@ -532,6 +559,11 @@ def main():
     if eval_wps:
         out["eval_tflops"] = round(eval_wps * f_fwd / 1e12, 2)
         out["mfu_eval"] = round(mfu(eval_wps, f_fwd, kind)["mfu_bf16"], 4)
+    eval_peak = merged.get("eval_peak_windows_per_sec")
+    if eval_peak:
+        out["mfu_eval_peak"] = round(
+            mfu(eval_peak, f_fwd, kind)["mfu_bf16"], 4
+        )
     sweep_wps = merged.get("crossval_sweep_windows_per_sec")
     if sweep_wps:
         out["sweep_tflops"] = round(sweep_wps * f_train / 1e12, 2)
