@@ -10,6 +10,11 @@ from __future__ import annotations
 
 import argparse
 
+from contrastiveprosthetics_tpu.utils.platform import (
+    add_platform_flag,
+    select_platform,
+)
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Loading ninapro dataset")
@@ -37,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sanity-check the glove-angle corpus: stimulus "
                         "ranges + NaN scan per subject (reference "
                         "get_calibration.py)")
+    add_platform_flag(p)
     return p
 
 
@@ -75,6 +81,7 @@ def check_glove_corpus(cfg, root, people=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    select_platform(args.platform)
     from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG, compat_config
     from contrastiveprosthetics_tpu.data.ingest import ingest_emg, ingest_glove
 

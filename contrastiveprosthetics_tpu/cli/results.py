@@ -16,6 +16,10 @@ def main(argv=None):
     p = build_parser()
     args = p.parse_args(argv)
 
+    from contrastiveprosthetics_tpu.utils.platform import select_platform
+
+    select_platform(args.platform)
+
     from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

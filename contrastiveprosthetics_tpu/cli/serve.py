@@ -27,6 +27,11 @@ import argparse
 import os
 import time
 
+from contrastiveprosthetics_tpu.utils.platform import (
+    add_platform_flag,
+    select_platform,
+)
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -57,6 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "simulating real-time ticks — identical outputs, "
                         "pays the host round trip once per recording")
     p.add_argument("--quiet", action="store_true")
+    add_platform_flag(p)
     return p
 
 
@@ -99,6 +105,7 @@ def _template_state(model, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    select_platform(args.platform)
 
     from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
 

@@ -16,6 +16,11 @@ import time
 
 import jax
 
+from contrastiveprosthetics_tpu.utils.platform import (
+    add_platform_flag,
+    select_platform,
+)
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Training on ninapro dataset")
@@ -68,6 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference train.py:140,159-165 id_ parameter; "
                         "the shipped cross_val_keys_finetune.npy used "
                         "'_finetune')")
+    add_platform_flag(p)
     return p
 
 
@@ -83,6 +89,7 @@ def build_store(args, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    select_platform(args.platform)
 
     from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
 

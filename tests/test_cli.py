@@ -134,3 +134,33 @@ def test_train_cli_exposes_per_subject_flag():
     args = build_parser().parse_args(["--per_subject_eval"])
     assert args.per_subject_eval is True
     assert build_parser().parse_args([]).per_subject_eval is False
+
+
+def test_platform_flag_on_every_cli(monkeypatch):
+    """--platform is on all four entry points; env var is the fallback.
+
+    select_platform must resolve flag > CPTPU_PLATFORM > auto, reject
+    unknown names, and actually pin the backend (the suite already runs
+    CPU-forced, so "cpu" must agree with the live default_backend).
+    """
+    import jax
+
+    from contrastiveprosthetics_tpu.cli import load as cli_load
+    from contrastiveprosthetics_tpu.cli import serve as cli_serve
+    from contrastiveprosthetics_tpu.cli import train as cli_train
+    from contrastiveprosthetics_tpu.utils.platform import select_platform
+
+    for mod, extra in ((cli_train, []), (cli_load, []),
+                       (cli_serve, ["--demo"])):
+        args = mod.build_parser().parse_args(extra + ["--platform", "cpu"])
+        assert args.platform == "cpu"
+        assert mod.build_parser().parse_args(extra).platform is None
+
+    monkeypatch.delenv("CPTPU_PLATFORM", raising=False)
+    assert select_platform(None) == "auto"
+    assert select_platform("cpu") == "cpu"
+    monkeypatch.setenv("CPTPU_PLATFORM", "cpu")
+    assert select_platform(None) == "cpu"
+    assert jax.default_backend() == "cpu"
+    with pytest.raises(ValueError):
+        select_platform("gpu")
