@@ -201,6 +201,157 @@ def _pallas_bwd_call(e, g, interpret: bool):
     return de[:N], dg[:N]
 
 
+# =====================================================================
+# 2. fused whole-encoder inference forward (fixed-normalization paths)
+# =====================================================================
+#
+# The entire EMGNet inference forward — conv1 → ReLU → BN → conv2 → ReLU
+# → BN → 7×[Dense → ReLU → BN] → head → L2-normalize → class-similarity —
+# as ONE kernel. The model is ~1.9 M params (≲8 MB f32): every weight fits
+# in VMEM simultaneously, so the kernel streams the weights from HBM *once*
+# and keeps them resident across the row-block grid, while XLA's layer-by-
+# layer schedule round-trips each (rows, 512) activation through HBM.
+#
+# Applicable exactly when the normalizations are affine at inference time:
+#   * plain-BN eval (the go.sh canonical ``--no_adabn``): running averages;
+#   * serving with frozen/calibrated ``batch_stats`` (serve/stream.py:18).
+# AdaBN eval (current-batch statistics) needs cross-row reductions between
+# layers and stays on the XLA path.
+#
+# Geometry trick: both convolutions become *banded dense matmuls* on the
+# flattened (position-major, channel-minor) layout the model's own
+# ``reshape`` uses (emg_net.py:44-51), so every tensor in the kernel is 2D
+# with MXU-shaped trailing dims (768/512) and no Mosaic-hostile reshapes:
+#   conv1 (3×1 taps, 1→64)  ⇒ (12, 768) band matrix
+#   conv2 (3×1 taps, 64→64) ⇒ (768, 768) block-band matrix
+# The band zeros cost ~0.9 MFLOP/row extra (~18 % of the forward census) —
+# accepted: the fusion removes the HBM activation traffic that actually
+# bounds the XLA path. Each BatchNorm's inference affine (a·x + c) is
+# absorbed into the *following* layer's weights at fold time, so the kernel
+# body is a pure chain of ``relu(h @ A + d)`` steps.
+
+
+def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5):
+    """Fold flax EMGNet variables + normalized class embeddings into the
+    flat (A0, d0, A1, d1, ..., Ah, dh, Gt) matmul-chain pytree consumed by
+    :func:`fused_encoder_logits`.
+
+    ``params``/``batch_stats``: the ``emg_net`` subtrees of the model
+    variables. ``class_emb``: (n_classes, d_e) *normalized* class
+    embeddings (``ContrastiveModel.encode_classes``). jnp-traceable — safe
+    to call inside a jitted eval step; fold cost is O(params).
+    """
+    emg_p = params["emg_net"] if "emg_net" in params else params
+    emg_s = batch_stats["emg_net"] if "emg_net" in batch_stats else batch_stats
+
+    def bn_affine(i):
+        p = emg_p[f"BatchNorm_{i}"]["BatchNorm_0"]
+        s = emg_s[f"BatchNorm_{i}"]["BatchNorm_0"]
+        a = p["scale"] / jnp.sqrt(s["var"] + eps)
+        return a, p["bias"] - s["mean"] * a
+
+    k1 = emg_p["TorchConv_0"]["Conv_0"]["kernel"][1, :, 0, :]   # (3, F)
+    b1 = emg_p["TorchConv_0"]["Conv_0"]["bias"]                 # (F,)
+    k2 = emg_p["TorchConv_1"]["Conv_0"]["kernel"][1]            # (3, F, F)
+    b2 = emg_p["TorchConv_1"]["Conv_0"]["bias"]
+    F = k1.shape[1]
+    n_dense = len([k for k in emg_p if k.startswith("TorchDense_")])
+    P = emg_p["TorchDense_0"]["Dense_0"]["kernel"].shape[0] // F  # positions
+
+    # conv1 as a (P, P·F) band: M1[p', p·F+c] = k1[p'-p+1, c]
+    m1 = jnp.zeros((P, P * F), k1.dtype)
+    # conv2 as a (P·F, P·F) block band: M2[p'·F+c, p·F+d] = k2[p'-p+1, c, d]
+    m2 = jnp.zeros((P * F, P * F), k2.dtype)
+    for p in range(P):
+        for kw in range(3):
+            ps = p + kw - 1  # source position (SAME padding)
+            if 0 <= ps < P:
+                m1 = m1.at[ps, p * F:(p + 1) * F].set(k1[kw])
+                m2 = m2.at[ps * F:(ps + 1) * F, p * F:(p + 1) * F].set(k2[kw])
+
+    layers = [(m1, jnp.tile(b1, P))]
+    a, c = bn_affine(0)  # post-conv1 BN, tiled over positions
+    a, c = jnp.tile(a, P), jnp.tile(c, P)
+    layers.append((a[:, None] * m2, jnp.tile(b2, P) + c @ m2))
+    a, c = bn_affine(1)
+    a, c = jnp.tile(a, P), jnp.tile(c, P)
+    for i in range(n_dense - 1):  # hidden Dense blocks (head excluded)
+        w = emg_p[f"TorchDense_{i}"]["Dense_0"]["kernel"]
+        b = emg_p[f"TorchDense_{i}"]["Dense_0"]["bias"]
+        layers.append((a[:, None] * w, b + c @ w))
+        a, c = bn_affine(i + 2)
+    wh = emg_p[f"TorchDense_{n_dense - 1}"]["Dense_0"]["kernel"]  # no bias
+    layers.append((a[:, None] * wh, c @ wh))
+
+    flat = []
+    for w, b in layers:
+        flat += [w, b[None, :]]  # biases as (1, F) rows (Mosaic wants 2D)
+    flat.append(class_emb.T)     # Gt: (d_e, n_classes)
+    return tuple(flat)
+
+
+def fused_encoder_logits_reference(frames, folded):
+    """XLA oracle: identical matmul-chain math, no Pallas."""
+    *ws, gt = folded
+    h = frames
+    for i in range(0, len(ws) - 2, 2):
+        h = jnp.maximum(h @ ws[i] + ws[i + 1], 0.0)
+    e = h @ ws[-2] + ws[-1]
+    e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+    return e @ gt
+
+
+def _enc_kernel(x_ref, *refs):
+    out_ref = refs[-1]
+    ws = refs[:-1]
+    h = x_ref[...]
+    for i in range(0, len(ws) - 3, 2):
+        h = jnp.dot(h, ws[i][...], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + ws[i + 1][...], 0.0)
+    e = jnp.dot(h, ws[-3][...], preferred_element_type=jnp.float32)
+    e = e + ws[-2][...]
+    norm = jnp.sqrt(jnp.sum(e * e, axis=1, keepdims=True))
+    e = e / norm
+    out_ref[...] = jnp.dot(e, ws[-1][...],
+                           preferred_element_type=jnp.float32)
+
+
+_ENC_BLOCK_ROWS = 256  # ≈1.6 MB activations; weights ≤8 MB — fits VMEM
+
+
+def fused_encoder_logits(frames, folded, interpret: bool = False):
+    """(N, emg_dim) frames → (N, n_classes) similarity logits, one kernel.
+
+    Rows are independent; N is padded to the block size (padded rows are
+    sliced off — their NaN-free garbage never crosses rows). Weights use
+    constant-index BlockSpecs, so Mosaic's pipeline fetches them once and
+    they stay VMEM-resident for the whole grid.
+    """
+    N, D = frames.shape
+    n_classes = folded[-1].shape[1]
+    R = _ENC_BLOCK_ROWS
+    pad = (-N) % R
+    x = jnp.pad(frames, ((0, pad), (0, 0))) if pad else frames
+
+    def const_spec(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _enc_kernel,
+        grid=((N + pad) // R,),
+        in_specs=[pl.BlockSpec((R, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [const_spec(a) for a in folded],
+        out_specs=pl.BlockSpec((R, n_classes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N + pad, n_classes), jnp.float32),
+        interpret=interpret,
+    )(x, *folded)
+    return out[:N]
+
+
 def fused_contrastive_reference(e, g):
     """XLA oracle with identical semantics: (mean loss, total correct)."""
     logits = jnp.einsum("ntd,nsd->nts", e, g)

@@ -57,3 +57,135 @@ def test_fused_loss_custom_vjp_matches_autodiff(embeddings):
     np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_r), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_r), rtol=1e-4, atol=1e-6)
 
+
+# ===================================================================
+# fused whole-encoder inference forward
+# ===================================================================
+
+
+@pytest.fixture(scope="module")
+def inference_model(rng):
+    """Plain-BN model with non-trivial running stats + params, plus the
+    frames: the fixed-normalization inference configuration the fused
+    encoder targets (narrow: n_linear=2/hidden=64 keeps CPU fast; the
+    fold is architecture-generic)."""
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+
+    model = ContrastiveModel(adabn=False, n_linear=2, hidden=64)
+    key = jax.random.PRNGKey(7)
+    variables = model.init(
+        {"params": key},
+        jnp.zeros((2, 41, 12)), jnp.zeros((2, 41, 20)), 0.0, 0.0, False,
+    )
+    # de-trivialize running stats (fresh init is mean 0 / var 1)
+    bs = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.3 if "mean" in jax.tree_util.keystr(p)
+        else x * 1.7,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    frames = jnp.asarray(
+        rng.standard_normal((37, 12)).astype(np.float32)
+    )  # 37: not a block multiple
+    return model, variables, frames
+
+
+def _fold(model, variables):
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.ops.pallas_ops import fold_encoder_params
+
+    class_emb = model.apply(
+        variables, method=ContrastiveModel.encode_classes
+    )
+    return fold_encoder_params(
+        variables["params"], variables["batch_stats"], class_emb
+    )
+
+
+def test_folded_chain_matches_flax_inference(inference_model):
+    """fold + XLA oracle == encode_emg @ class_embᵀ (the model's own
+    inference math, running-average BN)."""
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fused_encoder_logits_reference,
+    )
+
+    model, variables, frames = inference_model
+    emb = model.apply(
+        variables, frames, method=ContrastiveModel.encode_emg
+    )
+    class_emb = model.apply(
+        variables, method=ContrastiveModel.encode_classes
+    )
+    want = np.asarray(emb @ class_emb.T)
+    got = np.asarray(
+        fused_encoder_logits_reference(frames, _fold(model, variables))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_encoder_interpret_matches_reference(inference_model):
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fused_encoder_logits,
+        fused_encoder_logits_reference,
+    )
+
+    model, variables, frames = inference_model
+    folded = _fold(model, variables)
+    want = np.asarray(fused_encoder_logits_reference(frames, folded))
+    got = np.asarray(fused_encoder_logits(frames, folded, True))
+    assert got.shape == frames.shape[:1] + (41,)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_encoder_matches_eval_vote_logits(inference_model):
+    """The kernel's flat (N, n_classes) logits, reshaped with the clip
+    wrapper's vote transpose, must equal the model __call__ eval-vote
+    logits (B·W, T, T) — the eval path it would replace."""
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fused_encoder_logits_reference,
+    )
+
+    model, variables, frames = inference_model
+    rng = np.random.default_rng(5)
+    B, T, W = 2, 41, 3
+    emg = jnp.asarray(rng.standard_normal((B, T, W, 12)).astype(np.float32))
+    glove = jnp.zeros((B, T, 20))
+    want = np.asarray(
+        model.apply(variables, emg, glove, 0.0, 0.0, False)
+    )  # (B·W, T, T)
+    flat = fused_encoder_logits_reference(
+        emg.reshape(-1, 12), _fold(model, variables)
+    )  # (B·T·W, n_classes)
+    got = np.asarray(
+        flat.reshape(B, T, W, T).transpose(0, 2, 1, 3).reshape(B * W, T, T)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_encoder_full_width_architecture(rng):
+    """Reference-width network (7×512): fold handles the real geometry and
+    interpret-mode matches flax end to end."""
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fused_encoder_logits,
+    )
+
+    model = ContrastiveModel(adabn=False)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 41, 12)), jnp.zeros((1, 41, 20)), 0.0, 0.0, False,
+    )
+    frames = jnp.asarray(rng.standard_normal((8, 12)).astype(np.float32))
+    emb = model.apply(
+        variables, frames, method=ContrastiveModel.encode_emg
+    )
+    class_emb = model.apply(
+        variables, method=ContrastiveModel.encode_classes
+    )
+    want = np.asarray(emb @ class_emb.T)
+    got = np.asarray(
+        fused_encoder_logits(frames, _fold(model, variables), True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
