@@ -160,7 +160,7 @@ def phase_serve() -> dict:
           f"(p90 {out['serve_roundtrip_p90_ms']:.2f}; includes the "
           f"{out['rtt_null_p50_ms']:.2f} ms tunnel floor)", file=sys.stderr)
 
-    def chain_time(K: int) -> float:
+    def chain_time(eng, K: int) -> float:
         """Best-of-3 time for a K-tick one-dispatch chain, to readback.
         Input blocks are device-resident before timing starts."""
         import jax.numpy as _jnp
@@ -168,23 +168,39 @@ def phase_serve() -> dict:
         blocks = jax.device_put(_jnp.asarray(np.broadcast_to(
             block, (K, cfg.factor, cfg.emg_dim)
         )))
-        _, _, v = engine.steps(engine.init_carry(), blocks)  # compile
+        _, _, v = eng.steps(eng.init_carry(), blocks)  # compile
         np.asarray(v)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _, _, v = engine.steps(engine.init_carry(), blocks)
+            _, _, v = eng.steps(eng.init_carry(), blocks)
             np.asarray(v)
             best = min(best, time.perf_counter() - t0)
         return best
 
     k_lo, k_hi = 250, 2000
-    t_lo, t_hi = chain_time(k_lo), chain_time(k_hi)
+    t_lo, t_hi = chain_time(engine, k_lo), chain_time(engine, k_hi)
     tick_us = (t_hi - t_lo) / (k_hi - k_lo) * 1e6
     out["serve_tick_device_us"] = round(tick_us, 1)
     print(f"serve: marginal device cost {tick_us:.1f} µs/tick "
           f"(chains: {k_lo} ticks {t_lo*1e3:.1f} ms, {k_hi} ticks "
           f"{t_hi*1e3:.1f} ms)", file=sys.stderr)
+
+    # A/B: the fused whole-encoder tick (ops/pallas_ops.py §2) vs the
+    # XLA layer-by-layer tick at the same single-session geometry
+    engine_fused = StreamingEngine(
+        cfg, model, variables,
+        emg_mean=np.zeros(cfg.emg_dim, np.float32),
+        emg_std=np.ones(cfg.emg_dim, np.float32),
+        use_fused_encoder=True,
+    )
+    tf_lo, tf_hi = chain_time(engine_fused, k_lo), chain_time(engine_fused, k_hi)
+    tick_us_fused = (tf_hi - tf_lo) / (k_hi - k_lo) * 1e6
+    out["serve_tick_encoder_ab_us"] = {
+        "xla": round(tick_us, 1), "fused": round(tick_us_fused, 1)
+    }
+    print(f"serve: fused-encoder tick A/B xla {tick_us:.1f} vs fused "
+          f"{tick_us_fused:.1f} µs/tick", file=sys.stderr)
 
     S = 64
     batched = BatchedStreamingEngine(
@@ -434,46 +450,66 @@ def phase_eval() -> dict:
     jax, cfg, dev = _setup()
     from contrastiveprosthetics_tpu.train.engine import Hyper
 
-    store, trainer = _store_trainer(jax, cfg, dev)
+    store, trainer = _store_trainer(jax, cfg, dev)  # Trainer defaults
+    _, tr_alt = _store_trainer(
+        jax, cfg, dev, use_fused_encoder=not trainer.use_fused_encoder
+    )
+    # name by what each actually runs, so the headline always reports the
+    # shipping default and the A/B dict stays truthful if the default flips
+    impls = {
+        ("fused" if tr.use_fused_encoder else "xla"): tr
+        for tr in (trainer, tr_alt)
+    }
+    default_name = "fused" if trainer.use_fused_encoder else "xla"
     hyper = Hyper.single(1e-3, 1e-6, 0.5, 1e-3, 1e-6, 0.3)
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(key)
-    res = trainer.evaluate(state, jax.random.fold_in(key, 99), hyper,
-                           split="test")
-    np.asarray(res.loss)
     vt = trainer.view_test
     eval_windows = vt.D * vt.n_tasks * cfg.prediction_window_size
     # the device executes dispatches in order, so reading back the LAST
     # pass's loss syncs all of them; 100 passes ≈ 0.4 s of device work vs
     # one ~30 ms readback RTT
     reps = 100
-    t0 = time.perf_counter()
-    for i in range(reps):
-        res = trainer.evaluate(
-            state, jax.random.fold_in(key, 100 + i), hyper, split="test"
-        )
-    np.asarray(res.loss)
-    eval_wps = reps * eval_windows / (time.perf_counter() - t0)
-    print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline, timed to "
-          f"readback)", file=sys.stderr)
 
-    # peak geometry: batch 256 fills the MXU (2624 rows/GEMM at the
-    # reference's bs·8=64 vs 10,496 at 256; flat beyond — measured sweep
-    # 64/256/1024 on v5e)
-    res = trainer.evaluate(state, key, hyper, split="test", batch_size=256)
-    np.asarray(res.loss)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        res = trainer.evaluate(
-            state, jax.random.fold_in(key, 300 + i), hyper, split="test",
-            batch_size=256,
-        )
-    np.asarray(res.loss)
-    eval_peak = reps * eval_windows / (time.perf_counter() - t0)
-    print(f"eval[peak bs=256]: {eval_peak:,.0f} windows/s", file=sys.stderr)
+    def timed(tr, batch_size) -> float:
+        """Best-of-2 trials of `reps` back-to-back eval passes, timed to
+        readback (warm-up compile outside the timed region)."""
+        res = tr.evaluate(state, jax.random.fold_in(key, 99), hyper,
+                          split="test", batch_size=batch_size)
+        np.asarray(res.loss)
+        best = float("inf")
+        for trial in range(2):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                res = tr.evaluate(
+                    state, jax.random.fold_in(key, 100 + i), hyper,
+                    split="test", batch_size=batch_size,
+                )
+            np.asarray(res.loss)
+            best = min(best, time.perf_counter() - t0)
+        return reps * eval_windows / best
+
+    # A/B: XLA layer-by-layer eval vs the fused whole-encoder kernel
+    # (ops/pallas_ops.py §2), alternating so both see the same process
+    # history; at the reference geometry (test bs=8·8) and the
+    # MXU-filling peak geometry (bs=256: 10,496 rows/GEMM vs 2,624 —
+    # flat beyond; measured sweep 64/256/1024 on v5e)
+    ab = {}
+    for bs_name, bs in (("", None), ("_peak", 256)):
+        for name, tr in impls.items():
+            ab[f"{name}{bs_name}"] = timed(tr, bs)
+    eval_wps = ab[default_name]               # the shipping default
+    eval_peak = ab[f"{default_name}_peak"]
+    print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline, timed to "
+          f"readback); encoder A/B xla {ab['xla']:,.0f} vs fused "
+          f"{ab['fused']:,.0f}", file=sys.stderr)
+    print(f"eval[peak bs=256]: {eval_peak:,.0f} windows/s (xla "
+          f"{ab['xla_peak']:,.0f} vs fused {ab['fused_peak']:,.0f})",
+          file=sys.stderr)
     return {"eval_windows_per_sec": round(eval_wps, 1),
             "eval_peak_windows_per_sec": round(eval_peak, 1),
-            "eval_peak_geometry": "batch_size=256"}
+            "eval_peak_geometry": "batch_size=256",
+            "eval_encoder_ab": {k: round(v, 1) for k, v in ab.items()}}
 
 
 # ================================================================ orchestrate

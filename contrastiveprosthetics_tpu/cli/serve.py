@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device dispatch (lax.scan tick chain) instead of "
                         "simulating real-time ticks — identical outputs, "
                         "pays the host round trip once per recording")
+    p.add_argument("--fused_encoder", action="store_true",
+                   help="single-session ticks run the whole encoder+"
+                        "similarity as ONE Pallas kernel (weights stream "
+                        "HBM→VMEM once per tick; ops/pallas_ops.py §2)")
     p.add_argument("--quiet", action="store_true")
     add_platform_flag(p)
     return p
@@ -172,8 +176,13 @@ def main(argv=None):
     calib = _load_recording(args.calibrate) if args.calibrate else None
     n_blocks = raw.shape[1] // cfg.factor
 
+    if args.fused_encoder and S > 1:
+        print("--fused_encoder applies to single-session serving only "
+              "(per-session BN statistics need per-session weight folds); "
+              "ignoring for the batched engine")
     if S == 1:
-        engine = StreamingEngine(cfg, model, variables, emg_mean, emg_std)
+        engine = StreamingEngine(cfg, model, variables, emg_mean, emg_std,
+                                 use_fused_encoder=args.fused_encoder)
         if calib is not None:
             engine.calibrate(calib)
             print("calibrated BN statistics from "

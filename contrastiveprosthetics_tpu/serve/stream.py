@@ -104,7 +104,17 @@ class StreamingEngine:
         emg_mean: np.ndarray,
         emg_std: np.ndarray,
         glove_prototypes: Optional[np.ndarray] = None,
+        use_fused_encoder: Optional[bool] = None,
     ):
+        """``use_fused_encoder``: run the tick's encoder+similarity as the
+        single fused Pallas kernel (ops/pallas_ops.py §2) — the whole
+        network's weights stream HBM→VMEM once per tick instead of one
+        XLA op launch per layer. None → OFF until its TPU A/B is recorded.
+        Single-session only: the fold absorbs the (calibratable)
+        batch_stats into the weights, and the batched engine keeps
+        PER-SESSION statistics over shared weights, which would need a
+        per-session weight copy — that path stays on the vmapped XLA tick.
+        """
         if getattr(model, "adabn", False):
             # AdaBN layers normalize with *current-batch* statistics even in
             # eval (use_running_average=False); a single streamed frame has
@@ -145,8 +155,25 @@ class StreamingEngine:
         # (~25 ms/call measured); argument arrays stay device-resident.
         self._dev_vars = jax.device_put(variables)
         self._dev_class_emb = jax.device_put(self._class_emb)
+        self._use_fused = bool(use_fused_encoder)  # None → pending TPU A/B
+        self._folded = self._fold() if self._use_fused else ()
         self._step = jax.jit(self._tick, donate_argnums=(0,))
         self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
+
+    def _fold(self) -> tuple:
+        """Device-resident folded matmul chain for the fused tick; re-run
+        after every :meth:`calibrate` (the fold absorbs batch_stats)."""
+        from contrastiveprosthetics_tpu.ops.pallas_ops import (
+            fold_encoder_params,
+        )
+
+        return tuple(jax.device_put(
+            fold_encoder_params(
+                self.variables["params"],
+                self.variables.get("batch_stats", {}),
+                self._class_emb,
+            )
+        ))
 
     # ------------------------------------------------------------------ state
     def init_carry(self) -> StreamCarry:
@@ -160,9 +187,12 @@ class StreamingEngine:
 
     # ------------------------------------------------------------------- tick
     def _tick(self, carry: StreamCarry, raw_block: jax.Array,
-              subset_mask: jax.Array, variables, class_emb, sos, mean, std):
+              subset_mask: jax.Array, variables, class_emb, sos, mean, std,
+              *folded):
         """``raw_block``: (factor=20, emg_dim) raw samples (10 ms).
-        Returns (carry, per-frame pred, majority-vote pred, scores)."""
+        Returns (carry, per-frame pred, majority-vote pred, scores).
+        ``folded`` (optional trailing arrays): the folded matmul chain —
+        its presence statically selects the fused-kernel encoder."""
         cfg = self.cfg
         x = raw_block * self._prescale
 
@@ -187,15 +217,25 @@ class StreamingEngine:
         frame = jnp.sqrt(jnp.mean(jnp.square(window), axis=0))
         frame = (frame - mean) / std
 
-        emb = self.model.apply(
-            variables,
-            frame[None, :],
-            False,
-            method=ContrastiveModel.encode_emg,
-            mutable=False,
-        )[0]  # (d_e,)
+        if folded:  # static at trace time: fused whole-encoder kernel
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                fused_encoder_logits,
+                on_tpu,
+            )
 
-        scores = class_emb @ emb  # (n_classes,)
+            scores = fused_encoder_logits(
+                frame[None, :], folded, not on_tpu()
+            )[0]  # (n_classes,)
+        else:
+            emb = self.model.apply(
+                variables,
+                frame[None, :],
+                False,
+                method=ContrastiveModel.encode_emg,
+                mutable=False,
+            )[0]  # (d_e,)
+
+            scores = class_emb @ emb  # (n_classes,)
         neg = jnp.finfo(scores.dtype).min
         masked = jnp.where(subset_mask, scores, neg)
         pred = jnp.argmax(masked).astype(jnp.int32)
@@ -225,7 +265,8 @@ class StreamingEngine:
                 (self._class_emb.shape[0],), dtype=bool
             )
         return (jnp.asarray(subset_mask), self._dev_vars,
-                self._dev_class_emb, self._sos, self._mean, self._std)
+                self._dev_class_emb, self._sos, self._mean, self._std,
+                *self._folded)
 
     def step(self, carry: StreamCarry, raw_block, subset_mask=None):
         return self._step(
@@ -236,13 +277,14 @@ class StreamingEngine:
 
     def _tick_chain(self, carry: StreamCarry, blocks: jax.Array,
                     subset_mask: jax.Array, variables, class_emb, sos,
-                    mean, std):
+                    mean, std, *folded):
         """K ticks as ONE ``lax.scan`` dispatch — identical semantics to K
         sequential :meth:`_tick` calls (the scan body IS ``_tick``)."""
 
         def body(c, block):
             c, pred, vote, _ = self._tick(
-                c, block, subset_mask, variables, class_emb, sos, mean, std
+                c, block, subset_mask, variables, class_emb, sos, mean, std,
+                *folded
             )
             return c, (pred, vote)
 
@@ -287,6 +329,8 @@ class StreamingEngine:
         new_vars = dict(self._dev_vars, batch_stats=new_stats)
         self.variables = new_vars
         self._dev_vars = jax.device_put(new_vars)
+        if self._use_fused:
+            self._folded = self._fold()  # stats are baked into the fold
 
     def run(self, raw: np.ndarray, subset_mask=None):
         """Convenience: stream a whole recording (T, emg_dim); returns

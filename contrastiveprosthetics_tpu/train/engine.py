@@ -108,6 +108,13 @@ class Trainer:
     # (C=12 f32) every variant is DMA-latency-bound and lost to XLA's
     # vectorized take (1.42M vs 1.87M windows/s) — see ops/pallas_ops.py.
     use_pallas_loss: Optional[bool] = None  # None → auto (TPU only)
+    # Fused whole-encoder inference kernel (ops/pallas_ops.py §2) for the
+    # fixed-normalization eval path (contrastive, plain-BN, one-hot class
+    # encoder): the full conv→MLP→head→similarity forward in one
+    # pallas_call with all weights VMEM-resident. None → OFF until its
+    # TPU A/B is recorded (the no-kernel-ships-without-a-winning-A/B
+    # rule); set True to select it explicitly (interpret mode off-TPU).
+    use_fused_encoder: Optional[bool] = None
     # architecture knobs (defaults = reference parity); shrink in tests to
     # keep CPU GSPMD compiles tractable
     n_linear: int = 7
@@ -135,6 +142,13 @@ class Trainer:
                 self.use_pallas_loss = tpu
             if self.scan_unroll is None:
                 self.scan_unroll = 2 if tpu else 1
+        if self.use_fused_encoder is None:
+            self.use_fused_encoder = False  # pending its TPU A/B
+        # the fused encoder requires inference-affine normalization and the
+        # shared one-hot class embedding (see ops/pallas_ops.py §2)
+        self._fused_encoder_eligible = (
+            not self.adabn and not self.prediction and not self.glove_encoding
+        )
         self.model = ContrastiveModel(
             d_e=self.d_e,
             emg_dim=self.cfg.emg_dim,
@@ -477,16 +491,42 @@ class Trainer:
         batches, weights, inv = epoch_batches_padded(k_order, v.D, batch_size)
         bs = batches.shape[1]
 
+        use_fused = (self.use_fused_encoder and self._fused_encoder_eligible
+                     and T == self.cfg.max_tasks)
+        if use_fused:
+            from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                fold_encoder_params,
+                fused_encoder_logits,
+                on_tpu,
+            )
+
+            # folded once per eval call (outside the batch scan)
+            class_emb = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                method=ContrastiveModel.encode_classes,
+            )
+            folded = fold_encoder_params(
+                state.params, state.batch_stats, class_emb
+            )
+
         def body(_, batch):
             items, w = batch  # (bs,), (bs,)
             emg_b = gather_eval_batch(v.emg_groups, emg_rand, items)
             # (bs, T, W, 12)
             glove_b = gather_glove_batch(v.glove_flat, glove_rand, items, v.D_glove)
-            out, _ = self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, False,
-                mutable=["batch_stats"],
-            )
+            if use_fused:
+                flat = fused_encoder_logits(
+                    emg_b.reshape(-1, cfg.emg_dim), folded, not on_tpu()
+                )  # (bs·T·W, T) in (item, task, frame) row order
+                out = flat.reshape(bs, T, W, T).transpose(0, 2, 1, 3)
+                out = out.reshape(bs * W, T, T)  # clip.py vote row order
+            else:
+                out, _ = self.model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    emg_b, glove_b, hyper.dp_emg, hyper.dp_glove, False,
+                    mutable=["batch_stats"],
+                )
             if self.prediction:
                 labels = jnp.tile(jnp.arange(T), bs)
                 if out.ndim == 2:

@@ -20,5 +20,20 @@ ge, gg = lg(jnp.asarray(e), jnp.asarray(g))
 rge, rgg = jax.grad(lambda e,g: fused_contrastive_reference(e,g)[0], argnums=(0,1))(jnp.asarray(e), jnp.asarray(g))
 assert np.allclose(np.asarray(ge), np.asarray(rge), rtol=1e-3, atol=1e-6)
 assert np.allclose(np.asarray(gg), np.asarray(rgg), rtol=1e-3, atol=1e-6)
+
+# fused whole-encoder inference kernel (reference-width architecture)
+from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+from contrastiveprosthetics_tpu.ops.pallas_ops import (
+    fold_encoder_params, fused_encoder_logits, fused_encoder_logits_reference)
+model = ContrastiveModel(adabn=False)
+variables = model.init({"params": jax.random.PRNGKey(3)},
+                       jnp.zeros((1,41,12)), jnp.zeros((1,41,20)), 0.0, 0.0, False)
+class_emb = model.apply(variables, method=ContrastiveModel.encode_classes)
+folded = fold_encoder_params(variables["params"], variables["batch_stats"], class_emb)
+frames = jnp.asarray(rng.standard_normal((1000,12)).astype(np.float32))
+got = jax.jit(lambda f, w: fused_encoder_logits(f, w, False))(frames, folded)
+want = fused_encoder_logits_reference(frames, folded)
+assert np.allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5), (
+    np.abs(np.asarray(got)-np.asarray(want)).max())
 print("TPU kernel check OK")
 PY

@@ -164,3 +164,11 @@ def test_platform_flag_on_every_cli(monkeypatch):
     assert jax.default_backend() == "cpu"
     with pytest.raises(ValueError):
         select_platform("gpu")
+
+
+def test_serve_cli_exposes_fused_encoder_flag():
+    from contrastiveprosthetics_tpu.cli.serve import build_parser
+
+    args = build_parser().parse_args(["--demo", "--fused_encoder"])
+    assert args.fused_encoder is True
+    assert build_parser().parse_args(["--demo"]).fused_encoder is False

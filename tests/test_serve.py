@@ -234,3 +234,56 @@ def test_session_calibration_shares_one_compiled_program(engine, rng):
     # one jit construction at most (0 if another test already built it for
     # this model); never one per session
     assert _calibration_pass.cache_info().misses - misses0 <= 1
+
+
+def _fresh_engine_pair(**kw):
+    """Two engines over identical fresh variables: XLA tick vs fused-kernel
+    tick (narrow net keeps CPU interpret mode fast)."""
+    model = ContrastiveModel(
+        d_e=16, adabn=False, n_classes=CFG.max_tasks, n_linear=2, hidden=64
+    )
+    key = jax.random.PRNGKey(11)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    mk = lambda fused: StreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        use_fused_encoder=fused, **kw,
+    )
+    return mk(False), mk(True)
+
+
+def test_fused_tick_matches_xla_tick(rng):
+    eng, eng_f = _fresh_engine_pair()
+    raw = rng.standard_normal((200, 12)).astype(np.float32)
+    c, c_f = eng.init_carry(), eng_f.init_carry()
+    for i in range(10):
+        block = raw[i * 20 : (i + 1) * 20]
+        c, pred, vote, scores = eng.step(c, block)
+        c_f, pred_f, vote_f, scores_f = eng_f.step(c_f, block)
+        assert int(pred_f) == int(pred)
+        assert int(vote_f) == int(vote)
+        np.testing.assert_allclose(
+            np.asarray(scores_f), np.asarray(scores), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_fused_tick_refolds_after_calibration(rng):
+    """calibrate() re-estimates batch_stats; the fused fold must absorb the
+    NEW statistics (stale folds would silently keep the old ones)."""
+    eng, eng_f = _fresh_engine_pair()
+    cal = rng.standard_normal((2000, 12)).astype(np.float32) * 3.0 + 1.0
+    eng.calibrate(cal)
+    eng_f.calibrate(cal)
+    raw = rng.standard_normal((100, 12)).astype(np.float32)
+    _, preds, votes = eng.steps(eng.init_carry(), raw.reshape(5, 20, 12))
+    _, preds_f, votes_f = eng_f.steps(
+        eng_f.init_carry(), raw.reshape(5, 20, 12)
+    )
+    np.testing.assert_array_equal(np.asarray(preds_f), np.asarray(preds))
+    np.testing.assert_array_equal(np.asarray(votes_f), np.asarray(votes))

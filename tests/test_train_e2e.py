@@ -356,3 +356,43 @@ def test_committed_store_single_lowering(hyper):
         )
     jax.block_until_ready(losses)
     assert trainer._train_epochs_jit._cache_size() == 1
+
+
+def test_fused_encoder_eval_matches_xla_path(store, hyper):
+    """use_fused_encoder=True (interpret mode on CPU) must reproduce the
+    XLA eval path bit-for-bit in structure and numerically in values: same
+    key → same permutations/batches, so loss/logits/votes line up."""
+    kwargs = dict(adabn=False, batch_size=8, n_linear=2, hidden=64)
+    t_ref = Trainer(CFG, store, **kwargs)
+    t_fused = Trainer(CFG, store, use_fused_encoder=True, **kwargs)
+    assert t_fused._fused_encoder_eligible
+    state = t_ref.init_state(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(2)
+    r_ref = t_ref.evaluate(state, k, hyper, split="test")
+    r_fused = t_fused.evaluate(state, k, hyper, split="test")
+    np.testing.assert_allclose(
+        np.asarray(r_fused.logits), np.asarray(r_ref.logits),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        float(r_fused.loss), float(r_ref.loss), rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_fused.y_pred), np.asarray(r_ref.y_pred)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fused.curve), np.asarray(r_ref.curve), atol=1e-6
+    )
+
+
+def test_fused_encoder_ineligible_configs_fall_back(store, hyper):
+    """AdaBN / prediction / glove_encoding trainers must not engage the
+    fused path even when asked."""
+    for kw in (dict(adabn=True), dict(adabn=False, prediction=True),
+               dict(adabn=False, glove_encoding=True)):
+        t = Trainer(CFG, store, batch_size=8, n_linear=2, hidden=64,
+                    use_fused_encoder=True, **kw)
+        assert not t._fused_encoder_eligible
+        state = t.init_state(jax.random.PRNGKey(0))
+        res = t.evaluate(state, jax.random.PRNGKey(2), hyper, split="val")
+        assert np.isfinite(float(res.loss))
