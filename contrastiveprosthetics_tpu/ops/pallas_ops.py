@@ -231,7 +231,8 @@ def _pallas_bwd_call(e, g, interpret: bool):
 # body is a pure chain of ``relu(h @ A + d)`` steps.
 
 
-def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5):
+def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5,
+                        dtype=jnp.float32):
     """Fold flax EMGNet variables + normalized class embeddings into the
     flat (A0, d0, A1, d1, ..., Ah, dh, Gt) matmul-chain pytree consumed by
     :func:`fused_encoder_logits`.
@@ -240,6 +241,11 @@ def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5):
     variables. ``class_emb``: (n_classes, d_e) *normalized* class
     embeddings (``ContrastiveModel.encode_classes``). jnp-traceable — safe
     to call inside a jitted eval step; fold cost is O(params).
+
+    ``dtype``: storage/matmul precision of the folded weight matrices
+    (mirrors the model's ``compute_dtype``): ``bfloat16`` halves the
+    HBM→VMEM weight streaming — the floor of the single-row serve tick —
+    and feeds the MXU natively; biases and accumulation stay float32.
     """
     emg_p = params["emg_net"] if "emg_net" in params else params
     emg_s = batch_stats["emg_net"] if "emg_net" in batch_stats else batch_stats
@@ -285,9 +291,17 @@ def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5):
 
     flat = []
     for w, b in layers:
-        flat += [w, b[None, :]]  # biases as (1, F) rows (Mosaic wants 2D)
-    flat.append(class_emb.T)     # Gt: (d_e, n_classes)
+        # biases as (1, F) f32 rows (Mosaic wants 2D; accumulators stay f32)
+        flat += [w.astype(dtype), b[None, :].astype(jnp.float32)]
+    flat.append(class_emb.T.astype(dtype))  # Gt: (d_e, n_classes)
     return tuple(flat)
+
+
+def _dot_f32(h, w):
+    """h @ w with f32 accumulation; activations are cast to the folded
+    weights' precision (bf16 folds run the MXU natively)."""
+    return jax.lax.dot(h.astype(w.dtype), w,
+                       preferred_element_type=jnp.float32)
 
 
 def fused_encoder_logits_reference(frames, folded):
@@ -295,10 +309,10 @@ def fused_encoder_logits_reference(frames, folded):
     *ws, gt = folded
     h = frames
     for i in range(0, len(ws) - 2, 2):
-        h = jnp.maximum(h @ ws[i] + ws[i + 1], 0.0)
-    e = h @ ws[-2] + ws[-1]
+        h = jnp.maximum(_dot_f32(h, ws[i]) + ws[i + 1], 0.0)
+    e = _dot_f32(h, ws[-2]) + ws[-1]
     e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
-    return e @ gt
+    return _dot_f32(e, gt)
 
 
 def _enc_kernel(x_ref, *refs):
@@ -306,14 +320,11 @@ def _enc_kernel(x_ref, *refs):
     ws = refs[:-1]
     h = x_ref[...]
     for i in range(0, len(ws) - 3, 2):
-        h = jnp.dot(h, ws[i][...], preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + ws[i + 1][...], 0.0)
-    e = jnp.dot(h, ws[-3][...], preferred_element_type=jnp.float32)
-    e = e + ws[-2][...]
+        h = jnp.maximum(_dot_f32(h, ws[i][...]) + ws[i + 1][...], 0.0)
+    e = _dot_f32(h, ws[-3][...]) + ws[-2][...]
     norm = jnp.sqrt(jnp.sum(e * e, axis=1, keepdims=True))
     e = e / norm
-    out_ref[...] = jnp.dot(e, ws[-1][...],
-                           preferred_element_type=jnp.float32)
+    out_ref[...] = _dot_f32(e, ws[-1][...])
 
 
 _ENC_BLOCK_ROWS = 256  # ≈1.6 MB activations; weights ≤8 MB — fits VMEM

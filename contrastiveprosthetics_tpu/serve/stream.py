@@ -172,6 +172,7 @@ class StreamingEngine:
                 self.variables["params"],
                 self.variables.get("batch_stats", {}),
                 self._class_emb,
+                dtype=getattr(self.model, "dtype", jnp.float32),
             )
         ))
 

@@ -507,7 +507,8 @@ class Trainer:
                 method=ContrastiveModel.encode_classes,
             )
             folded = fold_encoder_params(
-                state.params, state.batch_stats, class_emb
+                state.params, state.batch_stats, class_emb,
+                dtype=self.model.dtype,  # matches the XLA path's precision
             )
 
         def body(_, batch):

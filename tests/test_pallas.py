@@ -189,3 +189,32 @@ def test_fused_encoder_full_width_architecture(rng):
         fused_encoder_logits(frames, _fold(model, variables), True)
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_encoder_bf16_fold(inference_model):
+    """bf16-folded weights: interpret kernel == XLA oracle on the same
+    fold (tight — identical op sequence), and both near the f32 fold
+    (loose — bf16 rounding)."""
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fold_encoder_params,
+        fused_encoder_logits,
+        fused_encoder_logits_reference,
+    )
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+
+    model, variables, frames = inference_model
+    class_emb = model.apply(
+        variables, method=ContrastiveModel.encode_classes
+    )
+    kw = dict(params=variables["params"],
+              batch_stats=variables["batch_stats"], class_emb=class_emb)
+    f16 = fold_encoder_params(dtype=jnp.bfloat16, **kw)
+    assert f16[0].dtype == jnp.bfloat16
+    assert f16[1].dtype == jnp.float32  # biases stay f32
+    ref16 = np.asarray(fused_encoder_logits_reference(frames, f16))
+    got16 = np.asarray(fused_encoder_logits(frames, f16, True))
+    np.testing.assert_allclose(got16, ref16, rtol=1e-5, atol=1e-6)
+    ref32 = np.asarray(fused_encoder_logits_reference(
+        frames, fold_encoder_params(**kw)
+    ))
+    np.testing.assert_allclose(got16, ref32, rtol=0.1, atol=0.05)
