@@ -11,6 +11,12 @@
    Replaces the reference's per-item Python CE loop (models.py:146-147) and
    its materialized ``bmm`` logits (models.py:129).
 
+2. ``fused_encoder_logits`` (+ ``fold_encoder_params``) — the ENTIRE
+   inference forward (conv→MLP→head→normalize→class-similarity) as one
+   kernel for the fixed-normalization paths (plain-BN eval, calibrated
+   serve); weights stream HBM→VMEM once per call and stay resident across
+   the row-block grid. Design notes at the §2 banner below.
+
 A second kernel — ``gather_normalize``, a scalar-prefetched row-gather from
 the device-resident window store fused with ``(x − mean)/std`` — was built,
 A/B'd on TPU v5e, and DELETED (VERDICT r1 §weak-1): gathered rows are
