@@ -188,19 +188,25 @@ def phase_serve() -> dict:
 
     # A/B: the fused whole-encoder tick (ops/pallas_ops.py §2) vs the
     # XLA layer-by-layer tick at the same single-session geometry
-    engine_fused = StreamingEngine(
-        cfg, model, variables,
-        emg_mean=np.zeros(cfg.emg_dim, np.float32),
-        emg_std=np.ones(cfg.emg_dim, np.float32),
-        use_fused_encoder=True,
-    )
-    tf_lo, tf_hi = chain_time(engine_fused, k_lo), chain_time(engine_fused, k_hi)
-    tick_us_fused = (tf_hi - tf_lo) / (k_hi - k_lo) * 1e6
-    out["serve_tick_encoder_ab_us"] = {
-        "xla": round(tick_us, 1), "fused": round(tick_us_fused, 1)
-    }
-    print(f"serve: fused-encoder tick A/B xla {tick_us:.1f} vs fused "
-          f"{tick_us_fused:.1f} µs/tick", file=sys.stderr)
+    try:
+        engine_fused = StreamingEngine(
+            cfg, model, variables,
+            emg_mean=np.zeros(cfg.emg_dim, np.float32),
+            emg_std=np.ones(cfg.emg_dim, np.float32),
+            use_fused_encoder=True,
+        )
+        tf_lo = chain_time(engine_fused, k_lo)
+        tf_hi = chain_time(engine_fused, k_hi)
+        tick_us_fused = (tf_hi - tf_lo) / (k_hi - k_lo) * 1e6
+        out["serve_tick_encoder_ab_us"] = {
+            "xla": round(tick_us, 1), "fused": round(tick_us_fused, 1)
+        }
+        print(f"serve: fused-encoder tick A/B xla {tick_us:.1f} vs fused "
+              f"{tick_us_fused:.1f} µs/tick", file=sys.stderr)
+    except Exception as e:  # A/B leg must never sink the headline numbers
+        print(f"serve fused-tick A/B failed: {e}", file=sys.stderr)
+        out["serve_tick_encoder_ab_us"] = {"xla": round(tick_us, 1),
+                                           "fused": None}
 
     S = 64
     batched = BatchedStreamingEngine(
@@ -497,7 +503,11 @@ def phase_eval() -> dict:
     ab = {}
     for bs_name, bs in (("", None), ("_peak", 256)):
         for name, tr in impls.items():
-            ab[f"{name}{bs_name}"] = timed(tr, bs)
+            try:
+                ab[f"{name}{bs_name}"] = timed(tr, bs)
+            except Exception as e:  # a failing A/B leg must never sink
+                print(f"eval[{name}{bs_name}] failed: {e}", file=sys.stderr)
+                ab[f"{name}{bs_name}"] = 0.0  # the headline measurement
     eval_wps = ab[default_name]               # the shipping default
     eval_peak = ab[f"{default_name}_peak"]
     print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline, timed to "
