@@ -378,8 +378,12 @@ def phase_train() -> dict:
     # degraded trials, then ONE marginal slope per impl cancels the fixed
     # dispatch+readback round trip (~30-65 ms on the tunnel). The headline
     # is the pallas (default-config) slope.
+    from contrastiveprosthetics_tpu.train.engine import Trainer
+
     store, tr_pallas = _store_trainer(jax, cfg, dev)
-    _, tr_xla = _store_trainer(jax, cfg, dev, use_pallas_loss=False)
+    # same store for the A/B twin: no second dataset build/upload
+    tr_xla = Trainer(cfg, store, adabn=False, batch_size=8,
+                     use_pallas_loss=False)
     v = tr_pallas.view_train
     # drop-last batching: an epoch trains (D // bs) * bs items
     wpe = (v.D // tr_pallas.batch_size) * tr_pallas.batch_size * v.n_tasks
@@ -456,10 +460,12 @@ def phase_eval() -> dict:
     jax, cfg, dev = _setup()
     from contrastiveprosthetics_tpu.train.engine import Hyper
 
+    from contrastiveprosthetics_tpu.train.engine import Trainer
+
     store, trainer = _store_trainer(jax, cfg, dev)  # Trainer defaults
-    _, tr_alt = _store_trainer(
-        jax, cfg, dev, use_fused_encoder=not trainer.use_fused_encoder
-    )
+    # second trainer over the SAME store: no second dataset build/upload
+    tr_alt = Trainer(cfg, store, adabn=False, batch_size=8,
+                     use_fused_encoder=not trainer.use_fused_encoder)
     # name by what each actually runs, so the headline always reports the
     # shipping default and the A/B dict stays truthful if the default flips
     impls = {
@@ -497,29 +503,38 @@ def phase_eval() -> dict:
 
     # A/B: XLA layer-by-layer eval vs the fused whole-encoder kernel
     # (ops/pallas_ops.py §2), alternating so both see the same process
-    # history; at the reference geometry (test bs=8·8) and the
-    # MXU-filling peak geometry (bs=256: 10,496 rows/GEMM vs 2,624 —
-    # flat beyond; measured sweep 64/256/1024 on v5e)
+    # history; at the reference geometry (test bs=8·8 → 2,624 rows/GEMM)
+    # and the peak geometry bs=D=368 — the whole split as ONE unpadded
+    # batch (15,088 rows/GEMM). bs must divide into D=368 item-slots or
+    # epoch_batches_padded pads the last batch and the computed
+    # windows/s would credit padded device work to real windows (the
+    # b64757d class of bias); 368 is also where the earlier 64/256/1024
+    # scan actually saturated (the sampler caps bs at D).
     ab = {}
-    for bs_name, bs in (("", None), ("_peak", 256)):
+    for bs_name, bs in (("", None), ("_peak", vt.D)):
         for name, tr in impls.items():
             try:
                 ab[f"{name}{bs_name}"] = timed(tr, bs)
-            except Exception as e:  # a failing A/B leg must never sink
+            except Exception as e:
+                if name == default_name:
+                    raise  # headline failure must surface as eval_error
+                # a failing A/B *alternate* leg must not sink the headline
                 print(f"eval[{name}{bs_name}] failed: {e}", file=sys.stderr)
-                ab[f"{name}{bs_name}"] = 0.0  # the headline measurement
+                ab[f"{name}{bs_name}"] = None
     eval_wps = ab[default_name]               # the shipping default
     eval_peak = ab[f"{default_name}_peak"]
+    fmt = lambda v: f"{v:,.0f}" if v else "FAILED"
     print(f"eval: {eval_wps:,.0f} windows/s (voting pipeline, timed to "
-          f"readback); encoder A/B xla {ab['xla']:,.0f} vs fused "
-          f"{ab['fused']:,.0f}", file=sys.stderr)
-    print(f"eval[peak bs=256]: {eval_peak:,.0f} windows/s (xla "
-          f"{ab['xla_peak']:,.0f} vs fused {ab['fused_peak']:,.0f})",
+          f"readback); encoder A/B xla {fmt(ab['xla'])} vs fused "
+          f"{fmt(ab['fused'])}", file=sys.stderr)
+    print(f"eval[peak bs=D={vt.D}]: {eval_peak:,.0f} windows/s (xla "
+          f"{fmt(ab['xla_peak'])} vs fused {fmt(ab['fused_peak'])})",
           file=sys.stderr)
     return {"eval_windows_per_sec": round(eval_wps, 1),
             "eval_peak_windows_per_sec": round(eval_peak, 1),
-            "eval_peak_geometry": "batch_size=256",
-            "eval_encoder_ab": {k: round(v, 1) for k, v in ab.items()}}
+            "eval_peak_geometry": f"batch_size=D={vt.D} (one unpadded batch)",
+            "eval_encoder_ab": {k: (round(v, 1) if v else None)
+                                for k, v in ab.items()}}
 
 
 # ================================================================ orchestrate
@@ -530,9 +545,11 @@ def _run_phase_subprocess(phase: str) -> dict:
     whole bench."""
     for attempt in (0, 1):
         try:
+            # 3600 s: a cold compile cache can legitimately take tens of
+            # minutes (CLAUDE.md: 1-15 min per first epoch/GSPMD compile)
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", phase],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=3600,
             )
         except subprocess.TimeoutExpired:
             if attempt == 0:

@@ -310,6 +310,24 @@ def _dot_f32(h, w):
                        preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_jit(dtype, eps):
+    return jax.jit(
+        functools.partial(fold_encoder_params, dtype=dtype, eps=eps)
+    )
+
+
+def fold_encoder_params_jit(params, batch_stats, class_emb, *, eps=1e-5,
+                            dtype=jnp.float32):
+    """Jitted :func:`fold_encoder_params`: ONE device program instead of
+    ~70 eager dispatches (the ``.at[].set`` band loop) — material on the
+    remote-attached backend where every dispatch pays the tunnel. Shared
+    across callers via an lru cache keyed on (dtype, eps)."""
+    return _fold_jit(jnp.dtype(dtype).name, eps)(
+        params, batch_stats, class_emb
+    )
+
+
 def fused_encoder_logits_reference(frames, folded):
     """XLA oracle: identical matmul-chain math, no Pallas."""
     *ws, gt = folded
@@ -346,7 +364,10 @@ def fused_encoder_logits(frames, folded, interpret: bool = False):
     """
     N, D = frames.shape
     n_classes = folded[-1].shape[1]
-    R = _ENC_BLOCK_ROWS
+    # block size adapts downward for small N (the single-row serve tick
+    # pads to one 8-row sublane tile, not a full 256-row eval block —
+    # ~32× less per-tick MXU row work)
+    R = min(_ENC_BLOCK_ROWS, -(-N // 8) * 8)
     pad = (-N) % R
     x = jnp.pad(frames, ((0, pad), (0, 0))) if pad else frames
 

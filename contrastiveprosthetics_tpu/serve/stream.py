@@ -164,11 +164,11 @@ class StreamingEngine:
         """Device-resident folded matmul chain for the fused tick; re-run
         after every :meth:`calibrate` (the fold absorbs batch_stats)."""
         from contrastiveprosthetics_tpu.ops.pallas_ops import (
-            fold_encoder_params,
+            fold_encoder_params_jit,
         )
 
         return tuple(jax.device_put(
-            fold_encoder_params(
+            fold_encoder_params_jit(
                 self.variables["params"],
                 self.variables.get("batch_stats", {}),
                 self._class_emb,

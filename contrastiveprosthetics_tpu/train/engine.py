@@ -493,6 +493,17 @@ class Trainer:
 
         use_fused = (self.use_fused_encoder and self._fused_encoder_eligible
                      and T == self.cfg.max_tasks)
+        if self.use_fused_encoder and not use_fused:
+            import warnings
+
+            # trace-time only: never let an explicit request silently
+            # measure the XLA path (an A/B would record a phantom tie)
+            warnings.warn(
+                "use_fused_encoder requested but this eval config is "
+                "ineligible (needs plain-BN contrastive one-hot and "
+                f"n_tasks == {self.cfg.max_tasks}); falling back to the "
+                "XLA path", stacklevel=2,
+            )
         if use_fused:
             from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
             from contrastiveprosthetics_tpu.ops.pallas_ops import (

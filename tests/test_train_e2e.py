@@ -387,12 +387,15 @@ def test_fused_encoder_eval_matches_xla_path(store, hyper):
 
 def test_fused_encoder_ineligible_configs_fall_back(store, hyper):
     """AdaBN / prediction / glove_encoding trainers must not engage the
-    fused path even when asked."""
+    fused path even when asked — and must say so (a silent fallback would
+    let an A/B record a phantom tie)."""
     for kw in (dict(adabn=True), dict(adabn=False, prediction=True),
                dict(adabn=False, glove_encoding=True)):
         t = Trainer(CFG, store, batch_size=8, n_linear=2, hidden=64,
                     use_fused_encoder=True, **kw)
         assert not t._fused_encoder_eligible
         state = t.init_state(jax.random.PRNGKey(0))
-        res = t.evaluate(state, jax.random.PRNGKey(2), hyper, split="val")
+        with pytest.warns(UserWarning, match="falling back to the XLA"):
+            res = t.evaluate(state, jax.random.PRNGKey(2), hyper,
+                             split="val")
         assert np.isfinite(float(res.loss))
