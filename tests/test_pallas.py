@@ -218,3 +218,25 @@ def test_fused_encoder_bf16_fold(inference_model):
         frames, fold_encoder_params(**kw)
     ))
     np.testing.assert_allclose(got16, ref32, rtol=0.1, atol=0.05)
+
+
+def test_fused_encoder_multiblock_grid(inference_model):
+    """N > block size: the sequential grid with constant-index weight
+    blocks must match the oracle (covers the pipelined multi-step path
+    the eval geometry uses; small N collapses to one block)."""
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        _ENC_BLOCK_ROWS,
+        fused_encoder_logits,
+        fused_encoder_logits_reference,
+    )
+
+    model, variables, _ = inference_model
+    folded = _fold(model, variables)
+    n = _ENC_BLOCK_ROWS + 44  # 2 grid steps, padded tail
+    frames = jnp.asarray(
+        np.random.default_rng(9).standard_normal((n, 12)).astype(np.float32)
+    )
+    want = np.asarray(fused_encoder_logits_reference(frames, folded))
+    got = np.asarray(fused_encoder_logits(frames, folded, True))
+    assert got.shape == (n, 41)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
