@@ -386,3 +386,131 @@ def test_train_loss_differential(ref):
         np.array(m.corrects).mean(),
         atol=1e-6,
     )
+
+
+# --------------------------------------------------------------------------
+# encoder architecture differential: weight transplant
+# --------------------------------------------------------------------------
+def _transplant_variables(ref_emg, ref_glove):
+    """Map the reference torch nets' weights into our flax variable tree.
+
+    Layout notes (functional equivalence, not byte-identical storage):
+      * torch Conv2d weight (out, in, kh, kw) → flax NHWC (kh, kw, in, out);
+      * torch flattens conv output CHANNEL-major ((N,64,1,12) → c·12+w,
+        models.py:263 Flatten) while our NHWC flatten is position-major
+        (p·64+c, emg_net.py:51), so the first Linear's input axis is
+        permuted accordingly — the nets are exactly equivalent under that
+        fixed permutation (init distributions are permutation-invariant);
+      * torch Linear weight (out, in) → flax kernel (in, out).
+    """
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    convs = [m for m in ref_emg.conv_emg if isinstance(m, torch.nn.Conv2d)]
+    bns2d = [m for m in ref_emg.conv_emg
+             if isinstance(m, torch.nn.BatchNorm2d)]
+    linears = [m for m in ref_emg.linear if isinstance(m, torch.nn.Linear)]
+    bns1d = [m for m in ref_emg.linear
+             if isinstance(m, torch.nn.BatchNorm1d)]
+    head = ref_emg.last[0]
+
+    params = {"emg_net": {}, "glove_net": {}}
+    stats = {"emg_net": {}}
+    e = params["emg_net"]
+    for i, c in enumerate(convs):
+        e[f"TorchConv_{i}"] = {"Conv_0": {
+            "kernel": t2j(c.weight.permute(2, 3, 1, 0)),
+            "bias": t2j(c.bias),
+        }}
+    for i, bn in enumerate(bns2d + bns1d):
+        e[f"BatchNorm_{i}"] = {"BatchNorm_0": {
+            "scale": t2j(bn.weight), "bias": t2j(bn.bias),
+        }}
+        stats["emg_net"][f"BatchNorm_{i}"] = {"BatchNorm_0": {
+            "mean": t2j(bn.running_mean), "var": t2j(bn.running_var),
+        }}
+    # first Linear: un-permute torch's channel-major flatten
+    w0 = t2j(linears[0].weight)                      # (512, 768=c·12+p)
+    w0 = w0.reshape(512, 64, 12).transpose(2, 1, 0).reshape(768, 512)
+    e["TorchDense_0"] = {"Dense_0": {
+        "kernel": w0, "bias": t2j(linears[0].bias),
+    }}
+    for i, lin in enumerate(linears[1:], start=1):
+        e[f"TorchDense_{i}"] = {"Dense_0": {
+            "kernel": t2j(lin.weight.T), "bias": t2j(lin.bias),
+        }}
+    e[f"TorchDense_{len(linears)}"] = {"Dense_0": {
+        "kernel": t2j(head.weight.T),
+    }}
+    params["glove_net"]["TorchDense_0"] = {"Dense_0": {
+        "kernel": t2j(ref_glove.easy[0].weight.T),
+        "bias": t2j(ref_glove.easy[0].bias),
+    }}
+    return {"params": params, "batch_stats": stats}
+
+
+@pytest.mark.slow
+def test_encoder_forward_differential(ref):
+    """Full-width encoder forward parity against the reference's own torch
+    EMGNet/GLOVENet in eval mode (plain BN, running stats): transplant the
+    torch weights into our flax model AND into the fused-kernel fold, feed
+    the same eval-vote EMG batch, and require the (B·W, T, T) similarity
+    logits to match (models.py:112-130 normalize+bmm)."""
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fold_encoder_params,
+        fused_encoder_logits,
+    )
+
+    torch.manual_seed(0)
+    T = ref.constants.MAX_TASKS
+    ref_emg = ref.models.EMGNet(d_e=16, dp=0.5, adabn=False, device="cpu")
+    ref_glove = ref.models.GLOVENet(d_e=16, dp=0.5, adabn=False,
+                                    device="cpu")
+    # de-trivialize the running statistics before eval
+    for m in list(ref_emg.modules()):
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.normal_(0.0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    ref_emg.eval()
+    ref_glove.eval()
+
+    # W is pinned to the reference's vote window: GLOVENet's eval
+    # expansion hardcodes PREDICTION_WINDOW_SIZE (models.py:463-464)
+    B, W = 2, ref.constants.PREDICTION_WINDOW_SIZE
+    rng = np.random.default_rng(17)
+    emg_np = rng.standard_normal((B, T, W, 12)).astype(np.float32)
+    labels = torch.arange(T).repeat(B)
+
+    with torch.no_grad():
+        e = ref_emg(torch.from_numpy(emg_np))            # (B·W, T, 16)
+        e = e / e.norm(dim=-1, keepdim=True)
+        # GLOVE values are ignored on the one-hot path (models.py:457-458);
+        # GLOVENet was built un-instrumented, so drive eval expansion by
+        # module training flag (models.py:462-464)
+        g = ref_glove(torch.zeros(B, T, 20), labels)     # (B·W, T, 16)
+        g = g / g.norm(dim=-1, keepdim=True)
+        want = torch.bmm(e, g.transpose(1, 2)).numpy()   # (B·W, T, T)
+
+    model = ContrastiveModel(adabn=False)
+    variables = _transplant_variables(ref_emg, ref_glove)
+    got_flax = np.asarray(
+        model.apply(variables, jnp.asarray(emg_np), jnp.zeros((B, T, 20)),
+                    0.0, 0.0, False)
+    )
+    np.testing.assert_allclose(got_flax, want, rtol=2e-4, atol=2e-5)
+
+    class_emb = model.apply(
+        variables, method=ContrastiveModel.encode_classes
+    )
+    folded = fold_encoder_params(
+        variables["params"], variables["batch_stats"], class_emb
+    )
+    flat = fused_encoder_logits(
+        jnp.asarray(emg_np.reshape(-1, 12)), folded, True
+    )
+    got_fused = np.asarray(
+        flat.reshape(B, T, W, T).transpose(0, 2, 1, 3).reshape(B * W, T, T)
+    )
+    np.testing.assert_allclose(got_fused, want, rtol=2e-4, atol=2e-5)
