@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Post-outage TPU runbook: validate the fused-encoder kernel on real
+# hardware and record its A/Bs. Run when the axon tunnel is back
+# (probe: timeout 60 python -c "import jax; print(jax.devices())").
+#
+# Sequence:
+#  1. Mosaic compile + numeric check of every Pallas kernel.
+#  2. The isolated eval + serve phases (fused-vs-xla A/Bs land in the
+#     phase JSON: eval_encoder_ab, serve_tick_encoder_ab_us).
+#  3. Full bench (all phases, one JSON line).
+# Then, BY HAND, apply the A/B verdict:
+#  - fused wins eval  → Trainer.use_fused_encoder default: None → on_tpu()
+#    (engine.py), and record the numbers in ops/pallas_ops.py §2 + README.
+#  - fused wins serve → StreamingEngine use_fused_encoder default likewise.
+#  - fused loses      → keep defaults OFF and record the losing numbers in
+#    the §2 banner (the deleted-gather-kernel precedent).
+set -e
+cd "$(dirname "$0")/.."
+echo "== 1. kernel compile check =="
+./scripts/tpu_kernel_check.sh
+echo "== 2. eval + serve phases (A/Bs) =="
+python bench.py --phase eval
+python bench.py --phase serve
+echo "== 3. full bench =="
+python bench.py
