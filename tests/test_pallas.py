@@ -240,3 +240,36 @@ def test_fused_encoder_multiblock_grid(inference_model):
     got = np.asarray(fused_encoder_logits(frames, folded, True))
     assert got.shape == (n, 41)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_linear,hidden,d_e", [(1, 64, 8), (3, 128, 16)])
+def test_fold_generalizes_across_architectures(rng, n_linear, hidden, d_e):
+    """The fold's index arithmetic (BN numbering, head detection, band
+    construction) must hold for any (n_linear, hidden, d_e), not just the
+    reference geometry."""
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.ops.pallas_ops import (
+        fold_encoder_params,
+        fused_encoder_logits_reference,
+    )
+
+    model = ContrastiveModel(adabn=False, n_linear=n_linear, hidden=hidden,
+                             d_e=d_e)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(n_linear)},
+        jnp.zeros((1, 41, 12)), jnp.zeros((1, 41, 20)), 0.0, 0.0, False,
+    )
+    frames = jnp.asarray(rng.standard_normal((9, 12)).astype(np.float32))
+    emb = model.apply(
+        variables, frames, method=ContrastiveModel.encode_emg
+    )
+    class_emb = model.apply(
+        variables, method=ContrastiveModel.encode_classes
+    )
+    folded = fold_encoder_params(
+        variables["params"], variables["batch_stats"], class_emb
+    )
+    got = np.asarray(fused_encoder_logits_reference(frames, folded))
+    np.testing.assert_allclose(
+        got, np.asarray(emb @ class_emb.T), rtol=2e-4, atol=2e-5
+    )
