@@ -390,6 +390,201 @@ def fused_encoder_logits(frames, folded, interpret: bool = False):
     return out[:N]
 
 
+# =====================================================================
+# 3. fused serve tick chain: a whole recording as ONE kernel
+# =====================================================================
+#
+# The streaming replay (serve/stream.py ``steps``) is a ``lax.scan`` whose
+# body is ~35 small ops: a 20-sample IIR scan, RMS, normalize, the
+# encoder, similarity, masking, and the majority-vote update — all on
+# (1, ·) tensors. Compiled XLA runs those ops back-to-back per tick, each
+# re-reading weights from HBM. This kernel instead makes the TICK the
+# pallas grid step: weights stream HBM→VMEM once per *recording*, DSP
+# state (IIR registers, RMS tail, vote window) lives in VMEM scratch
+# across the sequential grid, and each tick is a handful of fused VPU ops
+# plus one 1-row pass through the matmul chain.
+#
+# Semantics are pinned tick-for-tick against ``StreamingEngine._tick``
+# (tests/test_serve.py); the same fixed-normalization eligibility as §2
+# applies (the fold bakes in batch_stats).
+
+_NEG = -3.4028235e38  # jnp.finfo(f32).min, the XLA path's mask value
+
+
+def _first_max_index(row):
+    """argmax with smallest-index tie-break (torch.mode/argmax parity),
+    all-2D: ``row`` is (1, C) f32 → (1, 1) f32 index."""
+    C = row.shape[1]
+    m = jnp.max(row, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.float32, (1, C), 1)
+    return jnp.min(jnp.where(row >= m, col, jnp.float32(C)), axis=1,
+                   keepdims=True)
+
+
+def _tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, votes0_ref,
+                       nseen0_ref, mask_ref, sos_ref, mean_ref, std_ref,
+                       *rest, n_sec, factor, rms_window, vote_window,
+                       n_classes, n_ticks):
+    (*w_refs, preds_ref, votes_out_ref, iir_out_ref, tail_out_ref,
+     votesw_out_ref, nseen_out_ref, z_s, tail_s, filt_s, win_s, votes_s,
+     nseen_s) = rest
+    i = pl.program_id(0)
+    tail_rows = rms_window - 1
+
+    @pl.when(i == 0)
+    def _init():
+        z_s[...] = iir0_ref[...]
+        tail_s[...] = tail0_ref[...]
+        votes_s[...] = votes0_ref[...]
+        nseen_s[0, 0] = nseen0_ref[0, 0]
+
+    x = blocks_ref[0] * 1024.0  # (factor, 12); ingest 2^10 prescale
+
+    def sample(t, _):
+        y = jax.lax.dynamic_slice(x, (t, 0), (1, x.shape[1]))
+        for k in range(n_sec):  # static: transposed direct-form II SOS
+            b0, b1, b2 = sos_ref[k, 0], sos_ref[k, 1], sos_ref[k, 2]
+            a1, a2 = sos_ref[k, 4], sos_ref[k, 5]
+            z0 = z_s[2 * k:2 * k + 1, :]
+            z1 = z_s[2 * k + 1:2 * k + 2, :]
+            yk = b0 * y + z0
+            z_s[2 * k:2 * k + 1, :] = b1 * y - a1 * yk + z1
+            z_s[2 * k + 1:2 * k + 2, :] = b2 * y - a2 * yk
+            y = yk
+        filt_s[pl.ds(t, 1), :] = y
+        return 0
+
+    jax.lax.fori_loop(0, factor, sample, 0)
+
+    # trailing window-`rms_window` RMS at block end (stream.py:_tick)
+    win_s[0:tail_rows, :] = tail_s[...]
+    win_s[tail_rows:tail_rows + factor, :] = filt_s[...]
+    tot = tail_rows + factor
+    win = win_s[tot - rms_window:tot, :]
+    frame = jnp.sqrt(jnp.mean(win * win, axis=0, keepdims=True))
+    tail_s[...] = win_s[tot - tail_rows:tot, :]
+    h = (frame - mean_ref[...]) / std_ref[...]
+
+    for j in range(0, len(w_refs) - 3, 2):  # the §2 matmul chain
+        h = jnp.maximum(_dot_f32(h, w_refs[j][...]) + w_refs[j + 1][...],
+                        0.0)
+    e = _dot_f32(h, w_refs[-3][...]) + w_refs[-2][...]
+    e = e / jnp.sqrt(jnp.sum(e * e, axis=1, keepdims=True))
+    scores = _dot_f32(e, w_refs[-1][...])            # (1, n_classes)
+
+    masked = jnp.where(mask_ref[...] > 0.0, scores, _NEG)
+    pred = _first_max_index(masked)                  # (1, 1) f32
+
+    v = votes_s[...]                                 # (vote_window, 1) i32
+    votes_s[0:vote_window - 1, :] = v[1:vote_window, :]
+    votes_s[vote_window - 1:vote_window, :] = pred.astype(jnp.int32)
+    n_seen = jnp.minimum(nseen_s[0, 0] + 1, vote_window)
+    nseen_s[0, 0] = n_seen
+
+    # majority vote over the valid suffix, ties → smallest class id
+    rows = jax.lax.broadcasted_iota(jnp.int32, (vote_window, 1), 0)
+    valid = (rows >= vote_window - n_seen).astype(jnp.float32)
+    cls = jax.lax.broadcasted_iota(jnp.int32, (vote_window, n_classes), 1)
+    eq = (votes_s[...] == cls).astype(jnp.float32) * valid
+    counts = jnp.sum(eq, axis=0, keepdims=True)      # (1, n_classes)
+    counts = jnp.where(mask_ref[...] > 0.0, counts, -1.0)
+    vote = _first_max_index(counts)
+
+    preds_ref[0, 0] = pred[0, 0].astype(jnp.int32)
+    votes_out_ref[0, 0] = vote[0, 0].astype(jnp.int32)
+
+    @pl.when(i == n_ticks - 1)
+    def _final():
+        iir_out_ref[...] = z_s[...]
+        tail_out_ref[...] = tail_s[...]
+        votesw_out_ref[...] = votes_s[...]
+        nseen_out_ref[0, 0] = nseen_s[0, 0]
+
+
+def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
+                     sos, mean, std, folded, interpret: bool = False):
+    """K serve ticks as ONE pallas_call (sequential grid over ticks).
+
+    Args mirror ``StreamingEngine._tick``'s carry + per-tick inputs:
+    ``iir_state`` (n_sec, 2, D), ``tail`` (rms_window-1, D), ``votes``
+    (W,) int32, ``n_seen`` () int32, ``blocks`` (K, factor, D),
+    ``subset_mask`` (n_classes,) bool, ``folded`` the §2 matmul chain.
+    Returns ((iir_state, tail, votes, n_seen), preds (K,), votes (K,)).
+    """
+    K, factor, D = blocks.shape
+    n_sec = sos.shape[0]
+    tail_rows = tail.shape[0]
+    rms_window = tail_rows + 1
+    W = votes.shape[0]
+    n_classes = folded[-1].shape[1]
+
+    const = lambda a: pl.BlockSpec(
+        a.shape, lambda i, _nd=a.ndim: (0,) * _nd, memory_space=pltpu.VMEM
+    )
+    ins = [
+        blocks.astype(jnp.float32),
+        iir_state.reshape(n_sec * 2, D).astype(jnp.float32),
+        tail.astype(jnp.float32),
+        votes.reshape(W, 1).astype(jnp.int32),
+        jnp.asarray(n_seen, jnp.int32).reshape(1, 1),
+        subset_mask.reshape(1, n_classes).astype(jnp.float32),
+        jnp.asarray(sos, jnp.float32),
+        mean.reshape(1, D).astype(jnp.float32),
+        std.reshape(1, D).astype(jnp.float32),
+        *folded,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, factor, D), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const(ins[1]), const(ins[2]), const(ins[3]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # n_seen
+        const(ins[5]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # sos scalars
+        const(ins[7]), const(ins[8]),
+        *[const(a) for a in folded],
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, 1), jnp.int32),          # per-tick pred
+        jax.ShapeDtypeStruct((K, 1), jnp.int32),          # per-tick vote
+        jax.ShapeDtypeStruct((n_sec * 2, D), jnp.float32),
+        jax.ShapeDtypeStruct((tail_rows, D), jnp.float32),
+        jax.ShapeDtypeStruct((W, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(jnp.zeros((n_sec * 2, D))),
+        const(jnp.zeros((tail_rows, D))),
+        pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(
+        _tick_chain_kernel, n_sec=n_sec, factor=factor,
+        rms_window=rms_window, vote_window=W, n_classes=n_classes,
+        n_ticks=K,
+    )
+    preds, votes_out, iir_f, tail_f, votesw_f, nseen_f = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_sec * 2, D), jnp.float32),      # IIR registers
+            pltpu.VMEM((tail_rows, D), jnp.float32),      # RMS tail
+            pltpu.VMEM((factor, D), jnp.float32),         # filtered block
+            pltpu.VMEM((tail_rows + factor, D), jnp.float32),
+            pltpu.VMEM((W, 1), jnp.int32),                # vote window
+            pltpu.SMEM((1, 1), jnp.int32),                # n_seen
+        ],
+        interpret=interpret,
+    )(*ins)
+    carry = (iir_f.reshape(n_sec, 2, D), tail_f,
+             votesw_f.reshape(W), nseen_f[0, 0])
+    return carry, preds[:, 0], votes_out[:, 0]
+
+
 def fused_contrastive_reference(e, g):
     """XLA oracle with identical semantics: (mean loss, total correct)."""
     logits = jnp.einsum("ntd,nsd->nts", e, g)

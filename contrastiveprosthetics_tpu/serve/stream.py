@@ -159,6 +159,13 @@ class StreamingEngine:
         self._folded = self._fold() if self._use_fused else ()
         self._step = jax.jit(self._tick, donate_argnums=(0,))
         self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
+        if self._use_fused:
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                fused_tick_chain,
+            )
+
+            self._chain_jit = jax.jit(fused_tick_chain,
+                                      static_argnums=(10,))
 
     def _fold(self) -> tuple:
         """Device-resident folded matmul chain for the fused tick; re-run
@@ -301,6 +308,24 @@ class StreamingEngine:
         devices where each dispatch+sync costs ~30 ms. ``carry`` is
         DONATED (thread the returned carry forward). Returns
         (carry, preds (K,), votes (K,))."""
+        if self._use_fused:
+            # whole chain as ONE kernel (ops/pallas_ops.py §3): weights
+            # stream HBM→VMEM once per recording, DSP state lives in VMEM
+            # scratch across the sequential tick grid
+            from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+            if subset_mask is None:
+                subset_mask = jnp.ones(
+                    (self._class_emb.shape[0],), dtype=bool
+                )
+            (iir, tail, votes, n_seen), preds, vote_preds = self._chain_jit(
+                carry.iir_state, carry.tail, carry.votes, carry.n_seen,
+                jnp.asarray(raw_blocks, jnp.float32),
+                jnp.asarray(subset_mask), self._sos, self._mean, self._std,
+                self._folded, not on_tpu(),
+            )
+            return (StreamCarry(iir, tail, votes, n_seen), preds,
+                    vote_preds)
         return self._steps_jit(
             carry,
             jnp.asarray(raw_blocks, jnp.float32),

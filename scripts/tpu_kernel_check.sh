@@ -35,5 +35,18 @@ got = jax.jit(lambda f, w: fused_encoder_logits(f, w, False))(frames, folded)
 want = fused_encoder_logits_reference(frames, folded)
 assert np.allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5), (
     np.abs(np.asarray(got)-np.asarray(want)).max())
+
+# fused serve tick chain (whole recording as one kernel) vs the XLA scan
+from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as CFG
+from contrastiveprosthetics_tpu.serve.stream import StreamingEngine
+mk = lambda fused: StreamingEngine(CFG, model, variables,
+    emg_mean=np.zeros(12, np.float32), emg_std=np.ones(12, np.float32),
+    use_fused_encoder=fused)
+eng, eng_f = mk(False), mk(True)
+blocks = rng.standard_normal((50, CFG.factor, 12)).astype(np.float32) * 2.0
+_, p_x, v_x = eng.steps(eng.init_carry(), blocks)
+_, p_f, v_f = eng_f.steps(eng_f.init_carry(), blocks)
+assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "chain preds diverge"
+assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "chain votes diverge"
 print("TPU kernel check OK")
 PY

@@ -287,3 +287,32 @@ def test_fused_tick_refolds_after_calibration(rng):
     )
     np.testing.assert_array_equal(np.asarray(preds_f), np.asarray(preds))
     np.testing.assert_array_equal(np.asarray(votes_f), np.asarray(votes))
+
+
+def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
+    """The one-kernel tick chain (steps on a fused engine) must reproduce
+    the XLA scan chain tick-for-tick — including subset masking, the vote
+    warm-up, and continuation from a threaded carry."""
+    eng, eng_f = _fresh_engine_pair()
+    mask = np.zeros(41, bool)
+    mask[[0, 7, 23, 30]] = True
+    blocks = (rng.standard_normal((12, 20, 12)) * 2.0).astype(np.float32)
+
+    c_x, c_f = eng.init_carry(), eng_f.init_carry()
+    for chunk in (blocks[:5], blocks[5:]):  # two chunks: pins the carry
+        c_x, p_x, v_x = eng.steps(c_x, chunk, mask)
+        c_f, p_f, v_f = eng_f.steps(c_f, chunk, mask)
+        np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_x))
+        np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_x))
+    np.testing.assert_allclose(
+        np.asarray(c_f.iir_state), np.asarray(c_x.iir_state),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_f.tail), np.asarray(c_x.tail), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_f.votes), np.asarray(c_x.votes)
+    )
+    assert int(c_f.n_seen) == int(c_x.n_seen)
+    assert set(np.asarray(p_f).tolist()) <= {0, 7, 23, 30}
