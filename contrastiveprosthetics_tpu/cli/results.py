@@ -48,6 +48,7 @@ def main(argv=None):
         glove=args.glove,
         glove_encoding=args.glove_encoding,
         batch_size=args.batch_size,
+        use_fused_encoder=True if args.fused_encoder else None,
     )
     print("Dataset loaded")
 

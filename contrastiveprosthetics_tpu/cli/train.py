@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas similarity+CE kernel")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder compute (mixed precision)")
+    p.add_argument("--fused_encoder", action="store_true",
+                   help="plain-BN contrastive eval runs the whole encoder+"
+                        "similarity as ONE Pallas kernel with VMEM-resident"
+                        " weights (ops/pallas_ops.py §2; interpret mode "
+                        "off-TPU)")
     p.add_argument("--compat", action="store_true",
                    help="reproduce every reference quirk (uint8 time mask, "
                         "complete stats, shared StepLR, 249-col voting)")
@@ -125,6 +130,7 @@ def main(argv=None):
         glove_encoding=args.glove_encoding,
         batch_size=args.batch_size,
         use_pallas_loss=True if args.pallas_loss else None,  # None → auto
+        use_fused_encoder=True if args.fused_encoder else None,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print("Dataset loaded")

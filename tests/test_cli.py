@@ -172,3 +172,10 @@ def test_serve_cli_exposes_fused_encoder_flag():
     args = build_parser().parse_args(["--demo", "--fused_encoder"])
     assert args.fused_encoder is True
     assert build_parser().parse_args(["--demo"]).fused_encoder is False
+
+
+def test_train_cli_exposes_fused_encoder_flag():
+    from contrastiveprosthetics_tpu.cli.train import build_parser
+
+    assert build_parser().parse_args(["--fused_encoder"]).fused_encoder
+    assert not build_parser().parse_args([]).fused_encoder
