@@ -644,6 +644,11 @@ def main():
             out["vs_baseline_measured_cpu"] = round(
                 train_wps / measured["value"], 1
             )
+        ref_eval = measured.get("reference_eval_windows_per_sec")
+        if eval_wps and ref_eval:
+            out["vs_baseline_measured_cpu_eval"] = round(
+                eval_wps / ref_eval, 1
+            )
     except (FileNotFoundError, KeyError, json.JSONDecodeError):
         pass
     print(json.dumps(out))

@@ -109,6 +109,8 @@ def main():
     ap.add_argument("--batches", type=int, default=40,
                     help="timed batches (each = batch_size·41 windows)")
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--eval_passes", type=int, default=2,
+                    help="timed full test-split eval passes")
     args = ap.parse_args()
 
     ref = import_reference()
@@ -166,6 +168,49 @@ def main():
 
     windows = n * args.batch_size * C.MAX_TASKS
     wps = windows / dt
+
+    # ---- eval/voting throughput (train.py:27-44 test(): forward + the
+    # Model.loss eval path with its per-item CE rows and per-prefix
+    # torch.mode voting loops, models.py:138-163) ----
+    class _EvalShaped(torch.utils.data.Dataset):
+        """TaskWrapper eval item (load.py:264-266): EMG (T, W, 1, 12)."""
+
+        def __init__(self, D, T, W, emg_dim, glove_dim, seed=1):
+            g = torch.Generator().manual_seed(seed)
+            self.EMG = torch.randn(D, T, W, 1, emg_dim, generator=g)
+            self.GLOVE = torch.randn(D, T, glove_dim, generator=g)
+            self.T = T
+
+        def __len__(self):
+            return self.EMG.shape[0]
+
+        def __getitem__(self, idx):
+            return (self.EMG[idx], self.GLOVE[idx],
+                    torch.arange(self.T, dtype=torch.long))
+
+    W = C.PREDICTION_WINDOW_SIZE
+    D_test = 6 * 2 * 4  # test voting groups (load.py:217-223)
+    eval_ds = _EvalShaped(D_test, C.MAX_TASKS, W, C.EMG_DIM, C.GLOVE_DIM)
+    eval_loader = torch.utils.data.DataLoader(
+        eval_ds, batch_size=args.batch_size * 8  # train.py:32
+    )
+    model.set_test()
+
+    def eval_pass():
+        for EMG, GLOVE, label in eval_loader:
+            label = label.reshape(-1)
+            with torch.no_grad():
+                logits = model.forward(EMG, GLOVE, label)
+                model.loss(logits, label)
+
+    eval_pass()  # warm-up
+    passes = max(1, args.eval_passes)
+    t0 = time.perf_counter()
+    for _ in range(passes):
+        eval_pass()
+    dt_eval = time.perf_counter() - t0
+    eval_windows = passes * D_test * C.MAX_TASKS * W
+    eval_wps = eval_windows / dt_eval
     result = {
         "metric": "reference_train_windows_per_sec",
         "value": round(wps, 1),
@@ -176,6 +221,14 @@ def main():
         "batch_size": args.batch_size,
         "windows_per_batch": int(args.batch_size * C.MAX_TASKS),
         "seconds": round(dt, 3),
+        "reference_eval_windows_per_sec": round(eval_wps, 1),
+        "eval_passes_timed": passes,
+        "eval_seconds": round(dt_eval, 3),
+        "eval_note": (
+            "test() path (train.py:27-44): forward + Model.loss eval "
+            "voting (models.py:138-163 python loops incl. the 249-prefix "
+            "torch.mode sweep), full 48-group test split per pass"
+        ),
         "gpu_estimate_wps": 7380.0,
         "note": (
             "Measured by running the reference's own Model/train-loop body "
