@@ -179,3 +179,21 @@ def test_train_cli_exposes_fused_encoder_flag():
 
     assert build_parser().parse_args(["--fused_encoder"]).fused_encoder
     assert not build_parser().parse_args([]).fused_encoder
+
+
+@pytest.mark.slow
+def test_serve_cli_fused_replay_matches_xla_replay(tmp_path):
+    """--fused_encoder --replay (the one-kernel tick chain, interpret mode
+    on CPU) must byte-match the XLA replay on the seeded --demo workload
+    (full-width model)."""
+    from contrastiveprosthetics_tpu.cli.serve import main
+
+    out_x = tmp_path / "x.npz"
+    out_f = tmp_path / "f.npz"
+    args = ["--demo", "--seconds", "0.12", "--replay", "--subset", "1,5,9",
+            "--quiet"]
+    assert main(args + ["--out", str(out_x)]) == 0
+    assert main(args + ["--out", str(out_f), "--fused_encoder"]) == 0
+    with np.load(out_x) as zx, np.load(out_f) as zf:
+        np.testing.assert_array_equal(zf["preds"], zx["preds"])
+        np.testing.assert_array_equal(zf["votes"], zx["votes"])
