@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device dispatch (lax.scan tick chain) instead of "
                         "simulating real-time ticks — identical outputs, "
                         "pays the host round trip once per recording")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 tick compute (params stay f32; with "
+                        "--fused_encoder the weight folds are bf16 too — "
+                        "half the per-tick HBM weight streaming)")
     p.add_argument("--fused_encoder", action="store_true",
                    help="single-session ticks run the whole encoder+"
                         "similarity as ONE Pallas kernel (weights stream "
@@ -125,9 +129,12 @@ def main(argv=None):
     )
     from contrastiveprosthetics_tpu.train.checkpoint import load_checkpoint
 
+    import jax.numpy as jnp
+
     model = ContrastiveModel(
         d_e=args.d_e, adabn=False, n_classes=cfg.max_tasks,
         emg_dim=cfg.emg_dim, glove_dim=cfg.glove_dim,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     state = _template_state(model, cfg)
     if args.checkpoint:

@@ -197,3 +197,17 @@ def test_serve_cli_fused_replay_matches_xla_replay(tmp_path):
     with np.load(out_x) as zx, np.load(out_f) as zf:
         np.testing.assert_array_equal(zf["preds"], zx["preds"])
         np.testing.assert_array_equal(zf["votes"], zx["votes"])
+
+
+def test_serve_cli_bf16_demo(tmp_path):
+    """--bf16 runs the tick in bfloat16 compute; outputs stay valid ints
+    within the subset."""
+    from contrastiveprosthetics_tpu.cli.serve import main
+
+    out = tmp_path / "p.npz"
+    rc = main(["--demo", "--seconds", "0.1", "--bf16", "--replay",
+               "--subset", "2,4", "--quiet", "--out", str(out)])
+    assert rc == 0
+    with np.load(out) as z:
+        assert set(np.unique(z["preds"])) <= {2, 4}
+        assert set(np.unique(z["votes"])) <= {2, 4}
