@@ -8,15 +8,31 @@ lengths, timed to host readback (the repo's measurement discipline; the
 fixed tunnel RTT cancels in the slope).
 
 Usage: python scripts/profile_serve.py  (requires the TPU tunnel)
+       python scripts/profile_serve.py --platform cpu --quick  (smoke test)
 """
 from __future__ import annotations
 
+import argparse
 import time
 
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    from contrastiveprosthetics_tpu.utils.platform import (
+        add_platform_flag, select_platform,
+    )
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_platform_flag(parser)
+    parser.add_argument(
+        "--quick", action="store_true",
+        help="tiny chain lengths / one rep — correctness smoke, not timing",
+    )
+    args = parser.parse_args(argv)
+    select_platform(args.platform)
+    k_lo, k_hi, reps = (2, 4, 1) if args.quick else (250, 2000, 3)
+
     from contrastiveprosthetics_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -46,7 +62,7 @@ def main():
     rng = np.random.default_rng(0)
     block = rng.standard_normal((cfg.factor, cfg.emg_dim)).astype(np.float32)
 
-    def slope_us(run, k_lo=250, k_hi=2000):
+    def slope_us(run):
         def t(K):
             blocks = jax.device_put(jnp.asarray(np.broadcast_to(
                 block, (K, cfg.factor, cfg.emg_dim)
@@ -54,7 +70,7 @@ def main():
             v = run(blocks)
             np.asarray(v)
             best = float("inf")
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 v = run(blocks)
                 np.asarray(v)
