@@ -23,3 +23,6 @@ python bench.py --phase eval
 python bench.py --phase serve
 echo "== 3. full bench =="
 python bench.py
+echo "== 4. train-step op attribution (fused-train-kernel go/no-go) =="
+python scripts/trace_train.py --epochs 20
+python scripts/trace_train.py --epochs 20 --compute_dtype bfloat16

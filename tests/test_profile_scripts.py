@@ -11,13 +11,17 @@ from pathlib import Path
 import pytest
 
 
-@pytest.mark.slow
-def test_profile_serve_quick_runs_all_chains(capsys):
-    path = Path(__file__).resolve().parents[1] / "scripts" / "profile_serve.py"
-    spec = importlib.util.spec_from_file_location("profile_serve_script", path)
+def _load(name):
+    path = Path(__file__).resolve().parents[1] / "scripts" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(f"{name}_script", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main(["--quick"])  # conftest already pins the CPU backend
+    return mod
+
+
+@pytest.mark.slow
+def test_profile_serve_quick_runs_all_chains(capsys):
+    _load("profile_serve").main(["--quick"])  # conftest pins CPU backend
     out = capsys.readouterr().out
     for label in (
         "full XLA tick chain",
@@ -27,3 +31,11 @@ def test_profile_serve_quick_runs_all_chains(capsys):
         "summary:",
     ):
         assert label in out
+
+
+@pytest.mark.slow
+def test_trace_train_quick_attributes_ops(capsys):
+    _load("trace_train").main(["--quick"])
+    out = capsys.readouterr().out
+    assert "untraced wall:" in out
+    assert "total attributed device time:" in out
