@@ -177,11 +177,21 @@ def main(argv=None):
     subset_mask = None
     if args.subset:
         ids = [int(x) for x in args.subset.split(",")]
+        bad = [i for i in ids if not 0 <= i < cfg.max_tasks]
+        if bad:
+            raise SystemExit(
+                f"--subset ids must be in [0, {cfg.max_tasks}), got {bad}"
+            )
         subset_mask = np.zeros(cfg.max_tasks, dtype=bool)
         subset_mask[ids] = True
 
     calib = _load_recording(args.calibrate) if args.calibrate else None
     n_blocks = raw.shape[1] // cfg.factor
+    if n_blocks < 1:
+        raise SystemExit(
+            f"recording has {raw.shape[1]} samples — shorter than one "
+            f"{cfg.factor}-sample tick"
+        )
 
     if args.fused_encoder and S > 1:
         print("--fused_encoder applies to single-session serving only "
@@ -191,6 +201,13 @@ def main(argv=None):
         engine = StreamingEngine(cfg, model, variables, emg_mean, emg_std,
                                  use_fused_encoder=args.fused_encoder)
         if calib is not None:
+            if calib.ndim == 3:  # (sessions, samples, ch) file
+                if calib.shape[0] != 1:
+                    raise SystemExit(
+                        f"--calibrate has {calib.shape[0]} sessions; "
+                        f"--sessions=1 needs exactly one"
+                    )
+                calib = calib[0]
             engine.calibrate(calib)
             print("calibrated BN statistics from "
                   f"{args.calibrate or 'recording'}")
@@ -276,10 +293,15 @@ def main(argv=None):
     else:
         lat_ms = np.array(lat[1:]) * 1e3  # drop the compile tick
         timing = {"lat_ms": lat_ms}
-        print(f"streamed {n_blocks} ticks × {S} session(s): "
-              f"p50 {np.percentile(lat_ms, 50):.3f} ms/tick, "
-              f"p99 {np.percentile(lat_ms, 99):.3f} ms "
-              f"(budget {budget:.0f} ms)")
+        if lat_ms.size:
+            print(f"streamed {n_blocks} ticks × {S} session(s): "
+                  f"p50 {np.percentile(lat_ms, 50):.3f} ms/tick, "
+                  f"p99 {np.percentile(lat_ms, 99):.3f} ms "
+                  f"(budget {budget:.0f} ms)")
+        else:  # a 1-tick recording has no post-compile latencies
+            print(f"streamed {n_blocks} tick × {S} session(s): "
+                  f"first tick {lat[0] * 1e3:.3f} ms incl. compile "
+                  f"(budget {budget:.0f} ms)")
     for s in range(min(S, 4)):
         final = int(votes[s, -1])
         uniq, cnt = np.unique(votes[s], return_counts=True)

@@ -46,6 +46,12 @@ from typing import Tuple
 
 import numpy as np
 
+# the reference's ×2¹⁰ EMG prescale before filtering (load.py:87) — the
+# single source for ingest (data/ingest.py), signal ops (ops/signal.py),
+# serving (serve/stream.py), and the fused tick-chain kernel
+# (ops/pallas_ops.py §3)
+INGEST_PRESCALE = 2.0**10
+
 # ---------------------------------------------------------------------------
 # Canonical seed-0 orderings (reference constants.py:18-21,37-41).
 # Derived from: np.random.seed(0); permutation(40); permutation(6);

@@ -24,7 +24,7 @@ from typing import Sequence
 import numpy as np
 import scipy.io as sio
 
-from contrastiveprosthetics_tpu.config import Config
+from contrastiveprosthetics_tpu.config import INGEST_PRESCALE, Config
 from contrastiveprosthetics_tpu.ops.stats import RunningStats
 
 
@@ -103,7 +103,7 @@ class _ScipyPreprocessor:
         cfg = self._cfg
         out = []
         for seg in segments:
-            f = self._lfilter(self._b, self._a, seg * 2.0**10, axis=0)
+            f = self._lfilter(self._b, self._a, seg * INGEST_PRESCALE, axis=0)
             r = np.sqrt(
                 self._uf1d(np.square(f), size=cfg.rms_window, axis=0, mode="nearest")
             )[cfg.window_edge : -cfg.window_edge]

@@ -59,6 +59,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from contrastiveprosthetics_tpu.config import INGEST_PRESCALE
+
 
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -438,7 +440,7 @@ def _tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, votes0_ref,
         votes_s[...] = votes0_ref[...]
         nseen_s[0, 0] = nseen0_ref[0, 0]
 
-    x = blocks_ref[0] * 1024.0  # (factor, 12); ingest 2^10 prescale
+    x = blocks_ref[0] * INGEST_PRESCALE  # (factor, 12); ingest ×2¹⁰
 
     def sample(t, _):
         y = jax.lax.dynamic_slice(x, (t, 0), (1, x.shape[1]))
@@ -518,9 +520,10 @@ def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
     W = votes.shape[0]
     n_classes = folded[-1].shape[1]
 
-    const = lambda a: pl.BlockSpec(
-        a.shape, lambda i, _nd=a.ndim: (0,) * _nd, memory_space=pltpu.VMEM
+    const_shape = lambda shape: pl.BlockSpec(
+        shape, lambda i, _nd=len(shape): (0,) * _nd, memory_space=pltpu.VMEM
     )
+    const = lambda a: const_shape(a.shape)
     ins = [
         blocks.astype(jnp.float32),
         iir_state.reshape(n_sec * 2, D).astype(jnp.float32),
@@ -554,8 +557,8 @@ def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
     out_specs = [
         pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        const(jnp.zeros((n_sec * 2, D))),
-        const(jnp.zeros((tail_rows, D))),
+        const_shape((n_sec * 2, D)),
+        const_shape((tail_rows, D)),
         pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]

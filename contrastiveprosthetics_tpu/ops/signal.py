@@ -26,6 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import signal as _scipy_signal
 
+# re-exported here for the signal/serving callers; defined jax-free in
+# config.py so the numpy-only ingest oracle can share it
+from contrastiveprosthetics_tpu.config import INGEST_PRESCALE  # noqa: E402
+
 
 def butter_bandpass(
     low_hz: float, high_hz: float, fs: float, order: int = 4
@@ -146,7 +150,7 @@ def preprocess_segment(
     seg: jax.Array,
     sos: jax.Array,
     time_mask: jax.Array,
-    prescale: float = 2.0**10,
+    prescale: float = INGEST_PRESCALE,
     rms_window: int = 11,
 ) -> jax.Array:
     """Full per-(stim, rep) EMG preprocessing (reference ``load.py:85-101``):

@@ -134,7 +134,9 @@ class StreamingEngine:
         )
         self._mean = jnp.asarray(emg_mean, jnp.float32)
         self._std = jnp.asarray(emg_std, jnp.float32)
-        self._prescale = 2.0**10  # python scalar: inlined, never streamed
+        from contrastiveprosthetics_tpu.ops.signal import INGEST_PRESCALE
+
+        self._prescale = INGEST_PRESCALE  # python scalar: inlined, never streamed
 
         glove_rows = (
             jnp.asarray(glove_prototypes, jnp.float32)
@@ -164,8 +166,12 @@ class StreamingEngine:
                 fused_tick_chain,
             )
 
+            # donate the carry components (args 0-3), matching the XLA
+            # chain's donate_argnums=(0,) — steps() promises donation on
+            # both paths
             self._chain_jit = jax.jit(fused_tick_chain,
-                                      static_argnums=(10,))
+                                      static_argnums=(10,),
+                                      donate_argnums=(0, 1, 2, 3))
 
     def _fold(self) -> tuple:
         """Device-resident folded matmul chain for the fused tick; re-run
