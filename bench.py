@@ -249,12 +249,33 @@ def phase_serve() -> dict:
         (S, cfg.factor, cfg.emg_dim)
     ).astype(np.float32)
 
+    # A/B: the batched fused tick chain (ops/pallas_ops.py §4 — shared
+    # weights VMEM-resident across the whole recording, per-session BN
+    # affines) vs the vmapped XLA scan, alternating trials as above.
     k_lo, k_hi = 50, 400
+    legs_m = [("multi", batched)]
+    try:
+        legs_m.append(("multi_fused", BatchedStreamingEngine(
+            cfg, model, variables,
+            emg_mean=np.zeros(cfg.emg_dim, np.float32),
+            emg_std=np.ones(cfg.emg_dim, np.float32),
+            n_sessions=S,
+            use_fused_encoder=True,
+        )))
+    except Exception as e:
+        print(f"serve batched fused engine build failed: {e}",
+              file=sys.stderr)
     tb: dict = {}
     for trial in range(3):
-        for K in (k_lo, k_hi):
-            t = chain_once(batched, blocks64, K)
-            tb[("multi", K)] = min(tb.get(("multi", K), float("inf")), t)
+        for name, eng in list(legs_m):
+            for K in (k_lo, k_hi):
+                try:
+                    t = chain_once(eng, blocks64, K)
+                except Exception as e:
+                    print(f"serve {name} chain failed: {e}", file=sys.stderr)
+                    legs_m.remove((name, eng))
+                    break
+                tb[(name, K)] = min(tb.get((name, K), float("inf")), t)
     us = slope_us(tb, "multi", k_lo, k_hi)
     out["serve_sessions"] = S
     if us is None:
@@ -275,6 +296,16 @@ def phase_serve() -> dict:
             f"at the 10 ms budget)",
             file=sys.stderr,
         )
+    us_fused = (slope_us(tb, "multi_fused", k_lo, k_hi)
+                if ("multi_fused", k_hi) in tb else None)
+    out["serve_multi_chain_ab_ms"] = {
+        "xla": round(us / 1e3, 3) if us is not None else None,
+        "fused": round(us_fused / 1e3, 3) if us_fused is not None else None,
+    }
+    if us is not None and us_fused is not None:
+        print(f"serve: batched-chain A/B ({S} sessions) xla "
+              f"{us / 1e3:.3f} vs fused {us_fused / 1e3:.3f} ms/tick",
+              file=sys.stderr)
 
     # capacity probe at scale: one large-S tick chain, marginal-timed —
     # the per-session cost the capacity claim actually rests on

@@ -68,7 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_encoder", action="store_true",
                    help="single-session ticks run the whole encoder+"
                         "similarity as ONE Pallas kernel (weights stream "
-                        "HBM→VMEM once per tick; ops/pallas_ops.py §2)")
+                        "HBM→VMEM once per tick; ops/pallas_ops.py §2); "
+                        "with --sessions S --replay the whole multi-session "
+                        "chain runs as the batched §4 kernel (shared "
+                        "weights + per-session BN affines)")
     p.add_argument("--quiet", action="store_true")
     add_platform_flag(p)
     return p
@@ -193,10 +196,6 @@ def main(argv=None):
             f"{cfg.factor}-sample tick"
         )
 
-    if args.fused_encoder and S > 1:
-        print("--fused_encoder applies to single-session serving only "
-              "(per-session BN statistics need per-session weight folds); "
-              "ignoring for the batched engine")
     if S == 1:
         engine = StreamingEngine(cfg, model, variables, emg_mean, emg_std,
                                  use_fused_encoder=args.fused_encoder)
@@ -241,9 +240,17 @@ def main(argv=None):
 
             mesh = make_mesh(n_dp=len(jax.devices()), n_mp=1)
             print(f"sessions sharded over {mesh}")
+        fused_b = args.fused_encoder
+        if fused_b and mesh is not None:
+            print("--fused_encoder is single-chip (the §4 kernel is not "
+                  "mesh-sharded); ignoring under --spmd")
+            fused_b = False
+        if fused_b and not args.replay:
+            print("--fused_encoder on the batched engine accelerates the "
+                  "--replay chain; per-tick steps stay on the XLA path")
         engine = BatchedStreamingEngine(
             cfg, model, variables, emg_mean, emg_std, n_sessions=S,
-            mesh=mesh,
+            mesh=mesh, use_fused_encoder=fused_b,
         )
         if calib is not None:
             calib = np.broadcast_to(

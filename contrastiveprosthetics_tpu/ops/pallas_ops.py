@@ -17,6 +17,17 @@
    serve); weights stream HBM→VMEM once per call and stay resident across
    the row-block grid. Design notes at the §2 banner below.
 
+3. ``fused_tick_chain`` — a whole single-session serve recording as ONE
+   kernel: the tick is the sequential grid step, DSP state (IIR
+   registers, RMS tail, vote window) lives in VMEM scratch, weights load
+   once per recording. Design notes at the §3 banner.
+
+4. ``fused_tick_chain_batched`` (+ ``fold_encoder_params_shared``,
+   ``session_bn_affines``) — the multi-session replay: §3 with S session
+   rows per tick, a shared BN-free weight chain, and per-session
+   calibrated BatchNorm statistics applied as (S, width) affine vectors
+   inside the kernel. Design notes at the §4 banner.
+
 A second kernel — ``gather_normalize``, a scalar-prefetched row-gather from
 the device-resident window store fused with ``(x − mean)/std`` — was built,
 A/B'd on TPU v5e, and DELETED (VERDICT r1 §weak-1): gathered rows are
@@ -239,31 +250,11 @@ def _pallas_bwd_call(e, g, interpret: bool):
 # body is a pure chain of ``relu(h @ A + d)`` steps.
 
 
-def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5,
-                        dtype=jnp.float32):
-    """Fold flax EMGNet variables + normalized class embeddings into the
-    flat (A0, d0, A1, d1, ..., Ah, dh, Gt) matmul-chain pytree consumed by
-    :func:`fused_encoder_logits`.
-
-    ``params``/``batch_stats``: the ``emg_net`` subtrees of the model
-    variables. ``class_emb``: (n_classes, d_e) *normalized* class
-    embeddings (``ContrastiveModel.encode_classes``). jnp-traceable — safe
-    to call inside a jitted eval step; fold cost is O(params).
-
-    ``dtype``: storage/matmul precision of the folded weight matrices
-    (mirrors the model's ``compute_dtype``): ``bfloat16`` halves the
-    HBM→VMEM weight streaming — the floor of the single-row serve tick —
-    and feeds the MXU natively; biases and accumulation stay float32.
-    """
-    emg_p = params["emg_net"] if "emg_net" in params else params
-    emg_s = batch_stats["emg_net"] if "emg_net" in batch_stats else batch_stats
-
-    def bn_affine(i):
-        p = emg_p[f"BatchNorm_{i}"]["BatchNorm_0"]
-        s = emg_s[f"BatchNorm_{i}"]["BatchNorm_0"]
-        a = p["scale"] / jnp.sqrt(s["var"] + eps)
-        return a, p["bias"] - s["mean"] * a
-
+def _fold_chain(emg_p, bn_affine, class_emb, dtype):
+    """Shared fold machinery: EMGNet params + a ``bn_affine(i) -> (a, c)``
+    policy → the flat (A0, d0, ..., Ah, dh, Gt) matmul-chain tuple. The
+    per-layer BN affine is absorbed into the *following* layer's weights —
+    pass identity affines to get the raw (BN-free) chain."""
     k1 = emg_p["TorchConv_0"]["Conv_0"]["kernel"][1, :, 0, :]   # (3, F)
     b1 = emg_p["TorchConv_0"]["Conv_0"]["bias"]                 # (F,)
     k2 = emg_p["TorchConv_1"]["Conv_0"]["kernel"][1]            # (3, F, F)
@@ -305,6 +296,80 @@ def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5,
     return tuple(flat)
 
 
+def fold_encoder_params(params, batch_stats, class_emb, *, eps=1e-5,
+                        dtype=jnp.float32):
+    """Fold flax EMGNet variables + normalized class embeddings into the
+    flat (A0, d0, A1, d1, ..., Ah, dh, Gt) matmul-chain pytree consumed by
+    :func:`fused_encoder_logits`.
+
+    ``params``/``batch_stats``: the ``emg_net`` subtrees of the model
+    variables. ``class_emb``: (n_classes, d_e) *normalized* class
+    embeddings (``ContrastiveModel.encode_classes``). jnp-traceable — safe
+    to call inside a jitted eval step; fold cost is O(params).
+
+    ``dtype``: storage/matmul precision of the folded weight matrices
+    (mirrors the model's ``compute_dtype``): ``bfloat16`` halves the
+    HBM→VMEM weight streaming — the floor of the single-row serve tick —
+    and feeds the MXU natively; biases and accumulation stay float32.
+    """
+    emg_p = params["emg_net"] if "emg_net" in params else params
+    emg_s = batch_stats["emg_net"] if "emg_net" in batch_stats else batch_stats
+
+    def bn_affine(i):
+        p = emg_p[f"BatchNorm_{i}"]["BatchNorm_0"]
+        s = emg_s[f"BatchNorm_{i}"]["BatchNorm_0"]
+        a = p["scale"] / jnp.sqrt(s["var"] + eps)
+        return a, p["bias"] - s["mean"] * a
+
+    return _fold_chain(emg_p, bn_affine, class_emb, dtype)
+
+
+def fold_encoder_params_shared(params, class_emb, *, dtype=jnp.float32):
+    """BN-free shared matmul chain for the *batched* fused tick
+    (:func:`fused_tick_chain_batched`): identical tuple layout to
+    :func:`fold_encoder_params`, but every BN affine is identity — the
+    per-session BatchNorm statistics are applied INSIDE the kernel as
+    per-session (a, c) vectors (:func:`session_bn_affines`), so one weight
+    chain serves every session."""
+    emg_p = params["emg_net"] if "emg_net" in params else params
+
+    def identity_affine(i):
+        p = emg_p[f"BatchNorm_{i}"]["BatchNorm_0"]
+        one = jnp.ones_like(p["scale"])
+        return one, jnp.zeros_like(p["bias"])
+
+    return _fold_chain(emg_p, identity_affine, class_emb, dtype)
+
+
+def session_bn_affines(params, batch_stats_stacked, *, eps=1e-5):
+    """Per-session BatchNorm inference affines for the batched fused tick.
+
+    ``params``: shared model params (``emg_net`` subtree or full tree);
+    ``batch_stats_stacked``: per-session statistics with a leading
+    S(essions) axis (the :class:`~..serve.stream.BatchedStreamingEngine`
+    layout). Returns the flat tuple (a0, c0, a1, c1, ...): one (S, width)
+    f32 pair per non-head layer, conv affines tiled over the P positions of
+    the flattened (position-major, channel-minor) activation layout —
+    ``y = relu(h @ W + b) * a_i + c_i`` reproduces Conv/Dense→ReLU→BN."""
+    emg_p = params["emg_net"] if "emg_net" in params else params
+    emg_s = (batch_stats_stacked["emg_net"]
+             if "emg_net" in batch_stats_stacked else batch_stats_stacked)
+    F = emg_p["TorchConv_0"]["Conv_0"]["bias"].shape[0]
+    P = emg_p["TorchDense_0"]["Dense_0"]["kernel"].shape[0] // F
+    n_norms = len([k for k in emg_p if k.startswith("BatchNorm_")])
+
+    flat = []
+    for i in range(n_norms):
+        p = emg_p[f"BatchNorm_{i}"]["BatchNorm_0"]
+        s = emg_s[f"BatchNorm_{i}"]["BatchNorm_0"]  # leaves: (S, width)
+        a = p["scale"][None, :] / jnp.sqrt(s["var"] + eps)
+        c = p["bias"][None, :] - s["mean"] * a
+        if i < 2:  # post-conv BNs act per channel at every position
+            a, c = jnp.tile(a, (1, P)), jnp.tile(c, (1, P))
+        flat += [a.astype(jnp.float32), c.astype(jnp.float32)]
+    return tuple(flat)
+
+
 def _dot_f32(h, w):
     """h @ w with f32 accumulation; activations are cast to the folded
     weights' precision (bf16 folds run the MXU natively)."""
@@ -328,6 +393,30 @@ def fold_encoder_params_jit(params, batch_stats, class_emb, *, eps=1e-5,
     return _fold_jit(jnp.dtype(dtype).name, eps)(
         params, batch_stats, class_emb
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_shared_jit(dtype):
+    return jax.jit(
+        functools.partial(fold_encoder_params_shared, dtype=dtype)
+    )
+
+
+def fold_encoder_params_shared_jit(params, class_emb, *, dtype=jnp.float32):
+    """Jitted :func:`fold_encoder_params_shared` (same rationale as
+    :func:`fold_encoder_params_jit`)."""
+    return _fold_shared_jit(jnp.dtype(dtype).name)(params, class_emb)
+
+
+@functools.lru_cache(maxsize=None)
+def _affines_jit(eps):
+    return jax.jit(functools.partial(session_bn_affines, eps=eps))
+
+
+def session_bn_affines_jit(params, batch_stats_stacked, *, eps=1e-5):
+    """Jitted :func:`session_bn_affines` — re-run after every per-session
+    calibration (cost: O(S · BN widths), a few hundred KB)."""
+    return _affines_jit(eps)(params, batch_stats_stacked)
 
 
 def fused_encoder_logits_reference(frames, folded):
@@ -415,10 +504,10 @@ _NEG = -3.4028235e38  # jnp.finfo(f32).min, the XLA path's mask value
 
 def _first_max_index(row):
     """argmax with smallest-index tie-break (torch.mode/argmax parity),
-    all-2D: ``row`` is (1, C) f32 → (1, 1) f32 index."""
+    all-2D: ``row`` is (R, C) f32 → (R, 1) f32 per-row index."""
     C = row.shape[1]
     m = jnp.max(row, axis=1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, C), 1)
+    col = jax.lax.broadcasted_iota(jnp.float32, row.shape, 1)
     return jnp.min(jnp.where(row >= m, col, jnp.float32(C)), axis=1,
                    keepdims=True)
 
@@ -586,6 +675,237 @@ def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
     carry = (iir_f.reshape(n_sec, 2, D), tail_f,
              votesw_f.reshape(W), nseen_f[0, 0])
     return carry, preds[:, 0], votes_out[:, 0]
+
+
+# =====================================================================
+# 4. batched fused serve tick chain: K ticks × S sessions as ONE kernel
+# =====================================================================
+#
+# The multi-session replay (serve/stream.py BatchedStreamingEngine.steps)
+# is a ``lax.scan`` over ticks whose body is the vmapped tick: XLA re-reads
+# the ~8 MB weight chain from HBM on EVERY tick while the per-tick
+# activations are only S·768 floats — the replay is weight-traffic-bound.
+# This kernel makes the tick the (sequential) grid step, exactly like §3,
+# but with S session rows flowing through every op: weights + per-session
+# BN affines stream HBM→VMEM once per *recording*, per-session DSP state
+# lives in VMEM scratch, and each tick is one (S, ·) pass through the
+# matmul chain — MXU-shaped instead of §3's single row.
+#
+# Per-session BatchNorm statistics (the per-user online-AdaBN calibration)
+# are the reason the §2 fold could not serve the batched engine: folding
+# absorbs stats into weights, which would need S weight copies. Here the
+# chain stays BN-free and shared (fold_encoder_params_shared) and each
+# session applies its own (a, c) affine vectors between layers
+# (session_bn_affines) — S × a-few-KB instead of S × 8 MB.
+#
+# Vote-window trick: the window is carried as ONE-HOT rows ((W·S, C) f32,
+# oldest tick first) instead of class ids — unseen slots are all-zero rows
+# that add nothing to the counts, so the warm-up validity mask disappears
+# from the kernel, and the shift is a plain sublane-block move with no
+# lane-dim indexing or transposes. The id↔one-hot conversion (and the
+# deterministic n_seen update) happens in XLA in the wrapper.
+#
+# Semantics are pinned tick-for-tick against the vmapped XLA chain
+# (tests/test_serve.py::test_batched_fused_chain_*); same fixed-
+# normalization eligibility as §2/§3 (calibrated/frozen batch_stats).
+
+
+def _batched_tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, oh0_ref,
+                               mask_ref, sos_ref, mean_ref, std_ref, *rest,
+                               n_sec, factor, rms_window, vote_window,
+                               n_layers, n_sessions, n_ticks):
+    n_aff = 2 * (n_layers - 1)          # (a, c) per non-head layer
+    aff_refs = rest[:n_aff]
+    w_refs = rest[n_aff:n_aff + 2 * n_layers + 1]
+    (preds_ref, votes_ref, iir_out_ref, tail_out_ref, oh_out_ref,
+     z_s, filt_s, win_s, tail_s, oh_s) = rest[n_aff + 2 * n_layers + 1:]
+    i = pl.program_id(0)
+    S = n_sessions
+    tail_rows = rms_window - 1
+
+    @pl.when(i == 0)
+    def _init():
+        z_s[...] = iir0_ref[...]
+        tail_s[...] = tail0_ref[...]
+        oh_s[...] = oh0_ref[...]
+
+    x = blocks_ref[0] * INGEST_PRESCALE   # (factor·S, emg_dim); ingest ×2¹⁰
+
+    def sample(t, _):
+        y = jax.lax.dynamic_slice(x, (t * S, 0), (S, x.shape[1]))
+        for k in range(n_sec):  # static: transposed direct-form II SOS
+            b0, b1, b2 = sos_ref[k, 0], sos_ref[k, 1], sos_ref[k, 2]
+            a1, a2 = sos_ref[k, 4], sos_ref[k, 5]
+            z0 = z_s[2 * k * S:(2 * k + 1) * S, :]
+            z1 = z_s[(2 * k + 1) * S:(2 * k + 2) * S, :]
+            yk = b0 * y + z0
+            z_s[2 * k * S:(2 * k + 1) * S, :] = b1 * y - a1 * yk + z1
+            z_s[(2 * k + 1) * S:(2 * k + 2) * S, :] = b2 * y - a2 * yk
+            y = yk
+        filt_s[pl.ds(t * S, S), :] = y
+        return 0
+
+    jax.lax.fori_loop(0, factor, sample, 0)
+
+    # trailing window-`rms_window` RMS at block end, per session
+    win_s[0:tail_rows * S, :] = tail_s[...]
+    win_s[tail_rows * S:(tail_rows + factor) * S, :] = filt_s[...]
+    base = (tail_rows + factor - rms_window) * S
+    acc = win_s[base:base + S, :] ** 2
+    for t in range(1, rms_window):
+        acc += win_s[base + t * S:base + (t + 1) * S, :] ** 2
+    frame = jnp.sqrt(acc / rms_window)                      # (S, D)
+    tail_s[...] = win_s[factor * S:(tail_rows + factor) * S, :]
+    h = (frame - mean_ref[...]) / std_ref[...]
+
+    for j in range(n_layers - 1):  # shared chain + per-session BN affines
+        h = jnp.maximum(
+            _dot_f32(h, w_refs[2 * j][...]) + w_refs[2 * j + 1][...], 0.0
+        )
+        h = h * aff_refs[2 * j][...] + aff_refs[2 * j + 1][...]
+    e = _dot_f32(h, w_refs[-3][...]) + w_refs[-2][...]
+    e = e / jnp.sqrt(jnp.sum(e * e, axis=1, keepdims=True))
+    scores = _dot_f32(e, w_refs[-1][...])                   # (S, C)
+
+    masked = jnp.where(mask_ref[...] > 0.0, scores, _NEG)
+    pred = _first_max_index(masked)                         # (S, 1) f32
+
+    C = scores.shape[1]
+    cls = jax.lax.broadcasted_iota(jnp.float32, (S, C), 1)
+    shifted = oh_s[S:vote_window * S, :]  # read before the aliased store
+    oh_s[0:(vote_window - 1) * S, :] = shifted
+    oh_s[(vote_window - 1) * S:vote_window * S, :] = (
+        (cls == pred).astype(jnp.float32)
+    )
+
+    counts = oh_s[0:S, :]
+    for t in range(1, vote_window):  # zero rows (unseen slots) add nothing
+        counts += oh_s[t * S:(t + 1) * S, :]
+    counts = jnp.where(mask_ref[...] > 0.0, counts, -1.0)
+    vote = _first_max_index(counts)                         # (S, 1)
+
+    preds_ref[...] = pred.astype(jnp.int32)
+    votes_ref[...] = vote.astype(jnp.int32)
+
+    @pl.when(i == n_ticks - 1)
+    def _final():
+        iir_out_ref[...] = z_s[...]
+        tail_out_ref[...] = tail_s[...]
+        oh_out_ref[...] = oh_s[...]
+
+
+def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
+                             subset_masks, sos, mean, std, shared, affines,
+                             interpret: bool = False):
+    """K multi-session serve ticks as ONE pallas_call.
+
+    Args mirror the batched engine's carry + per-tick inputs, all with a
+    leading S(essions) axis: ``iir_state`` (S, n_sec, 2, D), ``tail``
+    (S, rms_window-1, D), ``votes`` (S, W) int32, ``n_seen`` (S,) int32,
+    ``blocks`` (K, S, factor, D), ``subset_masks`` (S, n_classes) bool.
+    ``shared``: the BN-free matmul chain (:func:`fold_encoder_params_shared`);
+    ``affines``: per-session BN affines (:func:`session_bn_affines`).
+    Returns ((iir_state, tail, votes, n_seen), preds (K, S), votes (K, S)).
+    """
+    K, S, factor, D = blocks.shape
+    n_sec = sos.shape[0]
+    tail_rows = tail.shape[1]
+    rms_window = tail_rows + 1
+    W = votes.shape[1]
+    n_classes = shared[-1].shape[1]
+    n_layers = (len(shared) - 1) // 2
+
+    # kernel row layouts: time/section-major, session-minor (every slice a
+    # kernel touches is then a contiguous (S, ·) sublane block)
+    blocks_k = blocks.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+        K, factor * S, D
+    )
+    iir_k = iir_state.astype(jnp.float32).transpose(1, 2, 0, 3).reshape(
+        n_sec * 2 * S, D
+    )
+    tail_k = tail.astype(jnp.float32).transpose(1, 0, 2).reshape(
+        tail_rows * S, D
+    )
+    # vote ids → one-hot rows, oldest first; warm-up slots (t < W - n_seen)
+    # become all-zero rows
+    t_idx = jnp.arange(W)[:, None]                        # (W, 1)
+    seen = t_idx >= (W - n_seen)[None, :]                 # (W, S)
+    oh_k = (
+        jax.nn.one_hot(votes.T, n_classes, dtype=jnp.float32)
+        * seen[:, :, None]
+    ).reshape(W * S, n_classes)
+
+    const = lambda a: pl.BlockSpec(
+        a.shape, lambda i, _nd=a.ndim: (0,) * _nd, memory_space=pltpu.VMEM
+    )
+    ins = [
+        blocks_k,
+        iir_k,
+        tail_k,
+        oh_k,
+        subset_masks.reshape(S, n_classes).astype(jnp.float32),
+        jnp.asarray(sos, jnp.float32),
+        mean.reshape(1, D).astype(jnp.float32),
+        std.reshape(1, D).astype(jnp.float32),
+        *affines,
+        *shared,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, factor * S, D), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const(iir_k), const(tail_k), const(oh_k), const(ins[4]),
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # sos scalars
+        const(ins[6]), const(ins[7]),
+        *[const(a) for a in affines],
+        *[const(a) for a in shared],
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K * S, 1), jnp.int32),      # per-tick preds
+        jax.ShapeDtypeStruct((K * S, 1), jnp.int32),      # per-tick votes
+        jax.ShapeDtypeStruct((n_sec * 2 * S, D), jnp.float32),
+        jax.ShapeDtypeStruct((tail_rows * S, D), jnp.float32),
+        jax.ShapeDtypeStruct((W * S, n_classes), jnp.float32),
+    ]
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [
+        pl.BlockSpec((S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const2((n_sec * 2 * S, D)),
+        const2((tail_rows * S, D)),
+        const2((W * S, n_classes)),
+    ]
+    kernel = functools.partial(
+        _batched_tick_chain_kernel, n_sec=n_sec, factor=factor,
+        rms_window=rms_window, vote_window=W, n_layers=n_layers,
+        n_sessions=S, n_ticks=K,
+    )
+    preds, votes_out, iir_f, tail_f, oh_f = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_sec * 2 * S, D), jnp.float32),  # IIR registers
+            pltpu.VMEM((factor * S, D), jnp.float32),     # filtered block
+            pltpu.VMEM(((tail_rows + factor) * S, D), jnp.float32),
+            pltpu.VMEM((tail_rows * S, D), jnp.float32),  # RMS tail
+            pltpu.VMEM((W * S, n_classes), jnp.float32),  # one-hot votes
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    # kernel layouts → engine layouts
+    iir_out = iir_f.reshape(n_sec, 2, S, D).transpose(2, 0, 1, 3)
+    tail_out = tail_f.reshape(tail_rows, S, D).transpose(1, 0, 2)
+    votes_win = jnp.argmax(
+        oh_f.reshape(W, S, n_classes), axis=-1
+    ).astype(jnp.int32).T                                  # (S, W)
+    n_seen_out = jnp.minimum(n_seen + K, W).astype(jnp.int32)
+    carry = (iir_out, tail_out, votes_win, n_seen_out)
+    return (carry, preds.reshape(K, S), votes_out.reshape(K, S))
 
 
 def fused_contrastive_reference(e, g):

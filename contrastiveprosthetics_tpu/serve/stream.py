@@ -110,10 +110,10 @@ class StreamingEngine:
         single fused Pallas kernel (ops/pallas_ops.py §2) — the whole
         network's weights stream HBM→VMEM once per tick instead of one
         XLA op launch per layer. None → OFF until its TPU A/B is recorded.
-        Single-session only: the fold absorbs the (calibratable)
-        batch_stats into the weights, and the batched engine keeps
-        PER-SESSION statistics over shared weights, which would need a
-        per-session weight copy — that path stays on the vmapped XLA tick.
+        This engine's fold absorbs the (calibratable) batch_stats into the
+        weights; the batched engine keeps PER-SESSION statistics over
+        shared weights and has its own fused replay (pallas_ops §4:
+        BN-free shared chain + per-session affine vectors).
         """
         if getattr(model, "adabn", False):
             # AdaBN layers normalize with *current-batch* statistics even in
@@ -404,6 +404,7 @@ class BatchedStreamingEngine:
         n_sessions: int,
         glove_prototypes: Optional[np.ndarray] = None,
         mesh=None,
+        use_fused_encoder: Optional[bool] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the
         session axis is then sharded over it: each chip serves its own
@@ -412,11 +413,24 @@ class BatchedStreamingEngine:
         linearly with chips; ``n_sessions`` must divide by the ``dp``
         size. Parameters/class embeddings are replicated; per-session
         state (DSP carries, vote windows, BN statistics, subset masks) is
-        sharded."""
+        sharded.
+
+        ``use_fused_encoder``: run :meth:`steps` (the replay chain) as the
+        ONE batched Pallas kernel (ops/pallas_ops.py §4) — the shared
+        BN-free weight chain streams HBM→VMEM once per recording and each
+        session applies its own calibrated BN statistics as per-session
+        affine vectors. None → OFF until its TPU A/B is recorded.
+        Single-chip only (the kernel isn't mesh-sharded); per-tick
+        :meth:`step` stays on the vmapped XLA tick either way."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
                 f"{mesh.shape['dp']}"
+            )
+        if mesh is not None and use_fused_encoder:
+            raise ValueError(
+                "use_fused_encoder is single-chip: the §4 kernel is not "
+                "mesh-sharded — drop mesh= or the fused flag"
             )
         self.n_sessions = n_sessions
         self._single = StreamingEngine(
@@ -440,6 +454,37 @@ class BatchedStreamingEngine:
         )
         self._step = jax.jit(self._vmapped_tick, donate_argnums=(0,))
         self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
+        self._use_fused = bool(use_fused_encoder)  # None → pending TPU A/B
+        if self._use_fused:
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                fold_encoder_params_shared_jit,
+                fused_tick_chain_batched,
+            )
+
+            self._shared = tuple(jax.device_put(
+                fold_encoder_params_shared_jit(
+                    self._params["params"],
+                    self._single._class_emb,
+                    dtype=getattr(model, "dtype", jnp.float32),
+                )
+            ))
+            self._refresh_affines()
+            self._chain_b_jit = jax.jit(
+                fused_tick_chain_batched,
+                static_argnums=(11,),
+                donate_argnums=(0, 1, 2, 3),
+            )
+
+    def _refresh_affines(self) -> None:
+        """Per-session BN affine vectors for the §4 kernel; re-derived
+        whenever any session's statistics change (calibrate_session)."""
+        from contrastiveprosthetics_tpu.ops.pallas_ops import (
+            session_bn_affines_jit,
+        )
+
+        self._affines = tuple(jax.device_put(session_bn_affines_jit(
+            self._params["params"], self._batch_stats
+        )))
 
     def _place_sessions(self, tree):
         """Shard the leading (session) axis over the mesh's dp dimension;
@@ -487,6 +532,8 @@ class BatchedStreamingEngine:
         self._batch_stats = jax.tree_util.tree_map(
             lambda all_, new: all_.at[i].set(new), self._batch_stats, new_stats
         )
+        if self._use_fused:
+            self._refresh_affines()  # the §4 kernel reads baked affines
 
     def step(self, carries: StreamCarry, raw_blocks, subset_masks=None):
         """``raw_blocks``: (n_sessions, factor, emg_dim); ``subset_masks``:
@@ -542,6 +589,26 @@ class BatchedStreamingEngine:
         dispatch (see :meth:`StreamingEngine.steps`). ``carries`` is
         DONATED. Returns (carries, preds (K, S), votes (K, S))."""
         blocks_seq = jnp.asarray(raw_blocks_seq, jnp.float32)
+        if self._use_fused:
+            # whole multi-session replay as ONE kernel (pallas_ops §4):
+            # shared weights + per-session BN affines stream HBM→VMEM once
+            # per recording; per-session DSP state lives in VMEM scratch
+            from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+            C = self._single._class_emb.shape[0]
+            if subset_masks is None:
+                subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)
+            (iir, tail, votes, n_seen), preds, vote_preds = (
+                self._chain_b_jit(
+                    carries.iir_state, carries.tail, carries.votes,
+                    carries.n_seen, blocks_seq,
+                    jnp.asarray(subset_masks), self._single._sos,
+                    self._single._mean, self._single._std,
+                    self._shared, self._affines, not on_tpu(),
+                )
+            )
+            return (StreamCarry(iir, tail, votes, n_seen), preds,
+                    vote_preds)
         if self._mesh is not None:
             # session axis is axis 1 here (time leads): shard it over dp
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -65,7 +65,7 @@ def main(argv=None):
     def slope_us(run):
         def t(K):
             blocks = jax.device_put(jnp.asarray(np.broadcast_to(
-                block, (K, cfg.factor, cfg.emg_dim)
+                block, (K,) + block.shape
             )))
             v = run(blocks)
             np.asarray(v)
@@ -144,6 +144,29 @@ def main(argv=None):
     print(f"\nsummary: full {full:.1f} = dsp {dsp:.1f} + enc {enc:.1f} "
           f"(+ vote/glue {full - dsp - enc:.1f}); fused {fused:.1f} "
           f"({full / max(fused, 1e-9):.1f}x)")
+
+    # (e)/(f) batched replay at S sessions: vmapped XLA scan vs the §4
+    # batched fused kernel (shared weights + per-session BN affines)
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    S = 4 if args.quick else 64
+    mkb = lambda fused: BatchedStreamingEngine(
+        cfg, model, variables,
+        emg_mean=np.zeros(cfg.emg_dim, np.float32),
+        emg_std=np.ones(cfg.emg_dim, np.float32),
+        n_sessions=S,
+        use_fused_encoder=fused,
+    )
+    bx, bf = mkb(False), mkb(True)
+    block_b = rng.standard_normal(
+        (S, cfg.factor, cfg.emg_dim)
+    ).astype(np.float32)
+    block = block_b  # slope_us closes over `block`; rebind to the S-axis one
+    bx_us = slope_us(lambda b: bx.steps(bx.init_carries(), b)[2])
+    print(f"batched XLA chain (S={S}):   {bx_us:8.1f} us/tick")
+    bf_us = slope_us(lambda b: bf.steps(bf.init_carries(), b)[2])
+    print(f"batched fused kernel (S={S}):{bf_us:8.1f} us/tick "
+          f"({bx_us / max(bf_us, 1e-9):.1f}x)")
 
 
 if __name__ == "__main__":

@@ -12,8 +12,10 @@
 #  - fused wins eval  → Trainer.use_fused_encoder default: None → on_tpu()
 #    (engine.py), and record the numbers in ops/pallas_ops.py §2 + README.
 #  - fused wins serve → StreamingEngine use_fused_encoder default likewise.
+#  - batched §4 wins (serve_multi_chain_ab_ms) → BatchedStreamingEngine
+#    use_fused_encoder default likewise; record in the §4 banner.
 #  - fused loses      → keep defaults OFF and record the losing numbers in
-#    the §2 banner (the deleted-gather-kernel precedent).
+#    the §2/§4 banner (the deleted-gather-kernel precedent).
 set -e
 cd "$(dirname "$0")/.."
 echo "== 1. kernel compile check =="

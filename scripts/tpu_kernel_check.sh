@@ -48,5 +48,21 @@ _, p_x, v_x = eng.steps(eng.init_carry(), blocks)
 _, p_f, v_f = eng_f.steps(eng_f.init_carry(), blocks)
 assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "chain preds diverge"
 assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "chain votes diverge"
+
+# batched fused tick chain (§4: S sessions, shared weights + per-session
+# BN affines) vs the vmapped XLA scan, with one session calibrated
+from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+S = 8
+mkb = lambda fused: BatchedStreamingEngine(CFG, model, variables,
+    emg_mean=np.zeros(12, np.float32), emg_std=np.ones(12, np.float32),
+    n_sessions=S, use_fused_encoder=fused)
+bx, bf = mkb(False), mkb(True)
+calib = (rng.standard_normal((2000, 12)) * 4 + 2).astype(np.float32)
+bx.calibrate_session(1, calib); bf.calibrate_session(1, calib)
+blocks_b = rng.standard_normal((50, S, CFG.factor, 12)).astype(np.float32) * 2.0
+_, p_x, v_x = bx.steps(bx.init_carries(), blocks_b)
+_, p_f, v_f = bf.steps(bf.init_carries(), blocks_b)
+assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "batched preds diverge"
+assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "batched votes diverge"
 print("TPU kernel check OK")
 PY

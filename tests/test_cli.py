@@ -199,6 +199,24 @@ def test_serve_cli_fused_replay_matches_xla_replay(tmp_path):
         np.testing.assert_array_equal(zf["votes"], zx["votes"])
 
 
+@pytest.mark.slow
+def test_serve_cli_batched_fused_replay_matches_xla_replay(tmp_path):
+    """--sessions 2 --fused_encoder --replay (the batched §4 kernel,
+    interpret mode on CPU) must byte-match the vmapped XLA replay on the
+    seeded --demo workload (full-width model)."""
+    from contrastiveprosthetics_tpu.cli.serve import main
+
+    out_x = tmp_path / "x.npz"
+    out_f = tmp_path / "f.npz"
+    args = ["--demo", "--seconds", "0.12", "--sessions", "2", "--replay",
+            "--subset", "1,5,9", "--quiet"]
+    assert main(args + ["--out", str(out_x)]) == 0
+    assert main(args + ["--out", str(out_f), "--fused_encoder"]) == 0
+    with np.load(out_x) as zx, np.load(out_f) as zf:
+        np.testing.assert_array_equal(zf["preds"], zx["preds"])
+        np.testing.assert_array_equal(zf["votes"], zx["votes"])
+
+
 def test_serve_cli_bf16_demo(tmp_path):
     """--bf16 runs the tick in bfloat16 compute; outputs stay valid ints
     within the subset."""

@@ -289,6 +289,119 @@ def test_fused_tick_refolds_after_calibration(rng):
     np.testing.assert_array_equal(np.asarray(votes_f), np.asarray(votes))
 
 
+def _fresh_batched_pair(S, **kw):
+    """Two batched engines over identical fresh variables: vmapped XLA
+    chain vs the §4 batched fused kernel (narrow net: CPU interpret)."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(
+        d_e=16, adabn=False, n_classes=CFG.max_tasks, n_linear=2, hidden=64
+    )
+    key = jax.random.PRNGKey(13)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    mk = lambda fused: BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S,
+        use_fused_encoder=fused, **kw,
+    )
+    return mk(False), mk(True)
+
+
+def test_batched_fused_chain_matches_xla_steps(rng):
+    """The §4 one-kernel batched replay must reproduce the vmapped XLA
+    scan tick-for-tick — with per-session CALIBRATED statistics (each
+    session's own BN affines), per-session subset masks, the vote warm-up,
+    and continuation from a threaded carry."""
+    S, K = 3, 12
+    eng, eng_f = _fresh_batched_pair(S)
+    # make the per-session statistics actually differ: calibrate session 1
+    # on a shifted distribution (the per-user online-AdaBN path)
+    calib = (rng.standard_normal((2000, 12)) * 4 + 2).astype(np.float32)
+    eng.calibrate_session(1, calib)
+    eng_f.calibrate_session(1, calib)
+
+    masks = np.ones((S, CFG.max_tasks), bool)
+    masks[2, 15:] = False  # session 2 restricts its grasp subset
+    blocks = (rng.standard_normal((K, S, CFG.factor, 12)) * 2.0).astype(
+        np.float32
+    )
+
+    c_x, c_f = eng.init_carries(), eng_f.init_carries()
+    for chunk in (blocks[:5], blocks[5:]):  # two chunks: pins the carry
+        c_x, p_x, v_x = eng.steps(c_x, chunk, masks)
+        c_f, p_f, v_f = eng_f.steps(c_f, chunk, masks)
+        np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_x))
+        np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_x))
+    np.testing.assert_allclose(
+        np.asarray(c_f.iir_state), np.asarray(c_x.iir_state),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_f.tail), np.asarray(c_x.tail), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_f.votes), np.asarray(c_x.votes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_f.n_seen), np.asarray(c_x.n_seen)
+    )
+    assert set(np.asarray(p_f)[:, 2].tolist()) <= set(range(15))
+
+
+def test_batched_fused_recalibration_refreshes_affines(rng):
+    """calibrate_session on a FUSED engine must change that session's
+    outputs (stale affines would silently keep the old statistics) and
+    only that session's."""
+    S = 2
+    eng, eng_f = _fresh_batched_pair(S)
+    blocks = (rng.standard_normal((4, S, CFG.factor, 12)) * 2.0).astype(
+        np.float32
+    )
+    _, _, before = eng_f.steps(eng_f.init_carries(), blocks)
+    before = np.asarray(before)
+
+    calib = (rng.standard_normal((2000, 12)) * 5 + 3).astype(np.float32)
+    eng.calibrate_session(0, calib)
+    eng_f.calibrate_session(0, calib)
+    _, _, after_f = eng_f.steps(eng_f.init_carries(), blocks)
+    _, _, after_x = eng.steps(eng.init_carries(), blocks)
+    after_f = np.asarray(after_f)
+    np.testing.assert_array_equal(after_f, np.asarray(after_x))
+    np.testing.assert_array_equal(after_f[:, 1], before[:, 1])  # untouched
+
+
+def test_batched_fused_rejects_mesh():
+    from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks,
+                             n_linear=2, hidden=64)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    mesh = make_mesh(n_dp=len(jax.devices()), n_mp=1)
+    with pytest.raises(ValueError, match="single-chip"):
+        BatchedStreamingEngine(
+            CFG, model, variables,
+            emg_mean=np.zeros(12, np.float32),
+            emg_std=np.ones(12, np.float32),
+            n_sessions=len(jax.devices()),
+            mesh=mesh,
+            use_fused_encoder=True,
+        )
+
+
 def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
     """The one-kernel tick chain (steps on a fused engine) must reproduce
     the XLA scan chain tick-for-tick — including subset masking, the vote
