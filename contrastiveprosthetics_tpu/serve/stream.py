@@ -469,6 +469,33 @@ class BatchedStreamingEngine:
                 )
             ))
             self._refresh_affines()
+            # everything the §4 kernel holds resident must fit VMEM
+            # (~16 MB/core): shared chain + per-session affines + DSP/vote
+            # scratch + the double-buffered tick block. Fail loudly at
+            # init instead of cryptically at Mosaic compile time.
+            S, D = n_sessions, cfg.emg_dim
+            W, C = cfg.prediction_window_size, self._single._class_emb.shape[0]
+            n_sec = self._single._sos.shape[0]
+            scratch = 4 * (
+                n_sec * 2 * S * D                      # IIR registers
+                + (2 * (cfg.rms_window - 1) + 2 * cfg.factor) * S * D
+                + W * S * C * 2                        # one-hot votes ×2
+                + 2 * cfg.factor * S * D               # tick block ×2
+            )
+            est = (sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in self._shared)
+                   + sum(int(np.prod(a.shape)) * 4 for a in self._affines)
+                   + scratch)
+            budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
+            if est > budget:
+                raise ValueError(
+                    f"batched fused tick chain needs ~{est / 2**20:.1f} MB "
+                    f"VMEM-resident state at n_sessions={n_sessions} "
+                    f"(budget ~{budget / 2**20:.0f} MB): reduce sessions, "
+                    "use a bfloat16 model dtype (halves the weight chain), "
+                    "or drop use_fused_encoder (the vmapped XLA tick has "
+                    "no session limit)"
+                )
             self._chain_b_jit = jax.jit(
                 fused_tick_chain_batched,
                 static_argnums=(11,),

@@ -377,6 +377,30 @@ def test_batched_fused_recalibration_refreshes_affines(rng):
     np.testing.assert_array_equal(after_f[:, 1], before[:, 1])  # untouched
 
 
+def test_batched_fused_rejects_vmem_overflow():
+    """The §4 kernel holds weights + per-session affines + scratch VMEM-
+    resident; geometries that cannot fit must fail loudly at init with
+    actionable advice, not at Mosaic compile time."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        BatchedStreamingEngine(
+            CFG, model, variables,
+            emg_mean=np.zeros(12, np.float32),
+            emg_std=np.ones(12, np.float32),
+            n_sessions=512,  # full width f32: ~36 MB resident — over budget
+            use_fused_encoder=True,
+        )
+
+
 def test_batched_fused_rejects_mesh():
     from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
     from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
