@@ -276,7 +276,8 @@ def phase_serve() -> dict:
                     legs_m.remove((name, eng))
                     break
                 tb[(name, K)] = min(tb.get((name, K), float("inf")), t)
-    us = slope_us(tb, "multi", k_lo, k_hi)
+    us = (slope_us(tb, "multi", k_lo, k_hi)
+          if ("multi", k_hi) in tb else None)  # leg may have been dropped
     out["serve_sessions"] = S
     if us is None:
         out["serve_multi_tick_device_ms"] = None

@@ -240,14 +240,16 @@ def main(argv=None):
 
             mesh = make_mesh(n_dp=len(jax.devices()), n_mp=1)
             print(f"sessions sharded over {mesh}")
-        fused_b = args.fused_encoder
+        fused_b = args.fused_encoder and args.replay
         if fused_b and mesh is not None:
             print("--fused_encoder is single-chip (the §4 kernel is not "
                   "mesh-sharded); ignoring under --spmd")
             fused_b = False
-        if fused_b and not args.replay:
+        if args.fused_encoder and not args.replay:
+            # don't build (or VMEM-check) the fused engine for a path that
+            # never uses it — per-tick steps stay on the XLA tick
             print("--fused_encoder on the batched engine accelerates the "
-                  "--replay chain; per-tick steps stay on the XLA path")
+                  "--replay chain only; ignoring for per-tick streaming")
         engine = BatchedStreamingEngine(
             cfg, model, variables, emg_mean, emg_std, n_sessions=S,
             mesh=mesh, use_fused_encoder=fused_b,

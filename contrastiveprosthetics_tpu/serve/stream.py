@@ -512,6 +512,7 @@ class BatchedStreamingEngine:
         self._affines = tuple(jax.device_put(session_bn_affines_jit(
             self._params["params"], self._batch_stats
         )))
+        self._affines_dirty = False
 
     def _place_sessions(self, tree):
         """Shard the leading (session) axis over the mesh's dp dimension;
@@ -560,7 +561,9 @@ class BatchedStreamingEngine:
             lambda all_, new: all_.at[i].set(new), self._batch_stats, new_stats
         )
         if self._use_fused:
-            self._refresh_affines()  # the §4 kernel reads baked affines
+            # lazy: calibrating S sessions in a loop would otherwise pay
+            # S dispatches; steps() re-derives the affines once when dirty
+            self._affines_dirty = True
 
     def step(self, carries: StreamCarry, raw_blocks, subset_masks=None):
         """``raw_blocks``: (n_sessions, factor, emg_dim); ``subset_masks``:
@@ -622,6 +625,8 @@ class BatchedStreamingEngine:
             # per recording; per-session DSP state lives in VMEM scratch
             from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
 
+            if self._affines_dirty:
+                self._refresh_affines()
             C = self._single._class_emb.shape[0]
             if subset_masks is None:
                 subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)

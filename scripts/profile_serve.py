@@ -2,10 +2,11 @@
 
 Companion to the §2/§3 fused-kernel A/Bs (ops/pallas_ops.py): measures the
 marginal per-tick cost of (a) the full XLA tick chain, (b) an IIR+RMS-only
-chain (no encoder), (c) an encoder-only chain (no DSP), and (d) the fused
-§3 tick-chain kernel — each as the slope between two one-dispatch chain
-lengths, timed to host readback (the repo's measurement discipline; the
-fixed tunnel RTT cancels in the slope).
+chain (no encoder), (c) an encoder-only chain (no DSP), (d) the fused
+§3 tick-chain kernel, and (e)/(f) the S-session batched replay (vmapped
+XLA vs the §4 batched kernel) — each as the slope between two
+one-dispatch chain lengths, timed to host readback (the repo's
+measurement discipline; the fixed tunnel RTT cancels in the slope).
 
 Usage: python scripts/profile_serve.py  (requires the TPU tunnel)
        python scripts/profile_serve.py --platform cpu --quick  (smoke test)
@@ -62,10 +63,12 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     block = rng.standard_normal((cfg.factor, cfg.emg_dim)).astype(np.float32)
 
-    def slope_us(run):
+    def slope_us(run, base=None):
+        base_block = block if base is None else base
+
         def t(K):
             blocks = jax.device_put(jnp.asarray(np.broadcast_to(
-                block, (K,) + block.shape
+                base_block, (K,) + base_block.shape
             )))
             v = run(blocks)
             np.asarray(v)
@@ -161,10 +164,9 @@ def main(argv=None):
     block_b = rng.standard_normal(
         (S, cfg.factor, cfg.emg_dim)
     ).astype(np.float32)
-    block = block_b  # slope_us closes over `block`; rebind to the S-axis one
-    bx_us = slope_us(lambda b: bx.steps(bx.init_carries(), b)[2])
+    bx_us = slope_us(lambda b: bx.steps(bx.init_carries(), b)[2], block_b)
     print(f"batched XLA chain (S={S}):   {bx_us:8.1f} us/tick")
-    bf_us = slope_us(lambda b: bf.steps(bf.init_carries(), b)[2])
+    bf_us = slope_us(lambda b: bf.steps(bf.init_carries(), b)[2], block_b)
     print(f"batched fused kernel (S={S}):{bf_us:8.1f} us/tick "
           f"({bx_us / max(bf_us, 1e-9):.1f}x)")
 

@@ -42,6 +42,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped so every test draws the SAME data no matter which
+    other tests ran first — a session-scoped generator made each test's
+    data depend on the whole suite's draw history, so adding a test
+    anywhere could push a tight f32-vs-f64 tolerance elsewhere over the
+    line (test_moving_rms_matches_reference, observed 2026-08-18)."""
     return np.random.default_rng(1234)

@@ -15,7 +15,8 @@ N, T, D = 12, 41, 16  # N deliberately not a multiple of the 8-item block
 
 
 @pytest.fixture(scope="module")
-def embeddings(rng):
+def embeddings():
+    rng = np.random.default_rng(1234)  # own stream: module scope
     e = rng.standard_normal((N, T, D)).astype(np.float32)
     g = rng.standard_normal((N, T, D)).astype(np.float32)
     e /= np.linalg.norm(e, axis=-1, keepdims=True)
@@ -64,12 +65,14 @@ def test_fused_loss_custom_vjp_matches_autodiff(embeddings):
 
 
 @pytest.fixture(scope="module")
-def inference_model(rng):
+def inference_model():
     """Plain-BN model with non-trivial running stats + params, plus the
     frames: the fixed-normalization inference configuration the fused
     encoder targets (narrow: n_linear=2/hidden=64 keeps CPU fast; the
     fold is architecture-generic)."""
     from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+
+    rng = np.random.default_rng(1234)  # own stream: module scope
 
     model = ContrastiveModel(adabn=False, n_linear=2, hidden=64)
     key = jax.random.PRNGKey(7)
