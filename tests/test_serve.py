@@ -377,6 +377,44 @@ def test_batched_fused_recalibration_refreshes_affines(rng):
     np.testing.assert_array_equal(after_f[:, 1], before[:, 1])  # untouched
 
 
+def test_batched_fused_bf16_fold_produces_valid_votes(rng):
+    """A bfloat16 model dtype gives the §4 kernel a bf16 shared weight
+    chain (half the VMEM + HBM streaming); outputs must stay valid class
+    ids within the per-session subsets."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    S = 2
+    model = ContrastiveModel(
+        d_e=16, adabn=False, n_classes=CFG.max_tasks, n_linear=2,
+        hidden=64, dtype=jnp.bfloat16,
+    )
+    key = jax.random.PRNGKey(5)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    eng = BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S,
+        use_fused_encoder=True,
+    )
+    assert eng._shared[0].dtype == jnp.bfloat16  # fold follows model dtype
+    masks = np.zeros((S, CFG.max_tasks), bool)
+    masks[0, [3, 11]] = True
+    masks[1, [7, 20, 33]] = True
+    blocks = (rng.standard_normal((6, S, CFG.factor, 12)) * 2.0).astype(
+        np.float32
+    )
+    _, preds, votes = eng.steps(eng.init_carries(), blocks, masks)
+    preds, votes = np.asarray(preds), np.asarray(votes)
+    assert set(preds[:, 0]) | set(votes[:, 0]) <= {3, 11}
+    assert set(preds[:, 1]) | set(votes[:, 1]) <= {7, 20, 33}
+
+
 def test_batched_fused_rejects_vmem_overflow():
     """The §4 kernel holds weights + per-session affines + scratch VMEM-
     resident; geometries that cannot fit must fail loudly at init with
