@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's stated intent, models.py:245, "
                         "which its mixed-subject batches never deliver) "
                         "and report/export per-subject accuracy")
+    p.add_argument("--prng_impl", type=str, default="threefry2x32",
+                   choices=("threefry2x32", "rbg", "unsafe_rbg"),
+                   help="PRNG for all random streams (dropout, shuffles, "
+                        "init). rbg/unsafe_rbg use the TPU hardware RNG — "
+                        "cheaper than threefry counters inside large "
+                        "programs; streams differ from the default (the "
+                        "reference's torch streams differ anyway). JAX "
+                        "typed keys carry the impl through every split/"
+                        "fold_in unchanged")
     p.add_argument("--crossval_id", type=str, default="",
                    help="suffix for cross_val_{keys,values}<id>.npy "
                         "(reference train.py:140,159-165 id_ parameter; "
@@ -134,7 +143,11 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print("Dataset loaded")
-    key = jax.random.PRNGKey(args.seed)
+    # default path keeps the legacy raw uint32 key (byte-identical streams
+    # to every prior run); non-default impls need the typed-key carrier
+    key = (jax.random.key(args.seed, impl=args.prng_impl)
+           if args.prng_impl != "threefry2x32"
+           else jax.random.PRNGKey(args.seed))
 
     # ---- cross-validation (train.py:140-198) ----
     crossval_load = args.crossval_load

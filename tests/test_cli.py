@@ -181,6 +181,17 @@ def test_train_cli_exposes_fused_encoder_flag():
     assert not build_parser().parse_args([]).fused_encoder
 
 
+def test_train_cli_exposes_prng_impl_flag():
+    from contrastiveprosthetics_tpu.cli.train import build_parser
+
+    assert build_parser().parse_args([]).prng_impl == "threefry2x32"
+    assert build_parser().parse_args(
+        ["--prng_impl", "rbg"]
+    ).prng_impl == "rbg"
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--prng_impl", "nonsense"])
+
+
 @pytest.mark.slow
 def test_serve_cli_fused_replay_matches_xla_replay(tmp_path):
     """--fused_encoder --replay (the one-kernel tick chain, interpret mode

@@ -79,6 +79,21 @@ def test_crossval_runs_and_saves(trainer, tmp_path):
 
 
 @pytest.mark.slow
+def test_crossval_rbg_key(trainer):
+    """The production sweep accepts a typed rbg key (--prng_impl rbg /
+    bench's f32_rbg leg): the impl rides on the key through every
+    fold_in/split in-graph — same shapes, hardware-RNG streams, finite
+    results."""
+    h = sample_hyperparams(4, seed=2)
+    values = cross_validate(
+        trainer, h, epochs=1, key=jax.random.key(0, impl="rbg"),
+        verbose=False,
+    )
+    assert values.shape == (4, 2)
+    assert np.isfinite(values).all()
+
+
+@pytest.mark.slow
 def test_crossval_chunking_consistent(trainer):
     """Chunked and unchunked sweeps must produce identical values (same
     per-config keys)."""
