@@ -16,6 +16,10 @@
 #    use_fused_encoder default likewise; record in the §4 banner.
 #  - fused loses      → keep defaults OFF and record the losing numbers in
 #    the §2/§4 banner (the deleted-gather-kernel precedent).
+#  - sweep f32_rbg leg (sweep_ab.f32_rbg) wins ≥5 % over f32 → record the
+#    number in README's perf table next to the --prng_impl flag docs; the
+#    DEFAULT stays threefry2x32 either way (stream reproducibility) — rbg
+#    is an opt-in knob, so this verdict only updates documentation.
 set -e
 cd "$(dirname "$0")/.."
 echo "== 1. kernel compile check =="
