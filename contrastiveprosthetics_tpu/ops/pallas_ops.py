@@ -248,6 +248,14 @@ def _pallas_bwd_call(e, g, interpret: bool):
 # bounds the XLA path. Each BatchNorm's inference affine (a·x + c) is
 # absorbed into the *following* layer's weights at fold time, so the kernel
 # body is a pure chain of ``relu(h @ A + d)`` steps.
+#
+# TPU numerics (v5e, measured 2026-08-18): at DEFAULT matmul precision the
+# kernel and the XLA layer-by-layer path both run MXU bf16 passes but round
+# through different fusion schedules — max |Δlogit| 3.3e-3 on ~0.7-scale
+# logits, argmax-identical on 1000 random frames. Under
+# ``jax.default_matmul_precision("highest")`` the two agree to 1.8e-7, so
+# the gap is MXU rounding, not kernel logic. scripts/tpu_kernel_check.sh
+# asserts both facts separately.
 
 
 def _fold_chain(emg_p, bn_affine, class_emb, dtype):
@@ -507,7 +515,9 @@ def _first_max_index(row):
     all-2D: ``row`` is (R, C) f32 → (R, 1) f32 per-row index."""
     C = row.shape[1]
     m = jnp.max(row, axis=1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.float32, row.shape, 1)
+    # Mosaic iota must be integer-typed; convert after (tpu.iota verifier)
+    col = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1).astype(
+        jnp.float32)
     return jnp.min(jnp.where(row >= m, col, jnp.float32(C)), axis=1,
                    keepdims=True)
 
@@ -529,10 +539,10 @@ def _tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, votes0_ref,
         votes_s[...] = votes0_ref[...]
         nseen_s[0, 0] = nseen0_ref[0, 0]
 
-    x = blocks_ref[0] * INGEST_PRESCALE  # (factor, 12); ingest ×2¹⁰
-
     def sample(t, _):
-        y = jax.lax.dynamic_slice(x, (t, 0), (1, x.shape[1]))
+        # dynamic per-sample read straight off the ref (Mosaic has no
+        # dynamic_slice on materialized values); ingest ×2¹⁰ rescale here
+        y = blocks_ref[0, pl.ds(t, 1), :] * INGEST_PRESCALE
         for k in range(n_sec):  # static: transposed direct-form II SOS
             b0, b1, b2 = sos_ref[k, 0], sos_ref[k, 1], sos_ref[k, 2]
             a1, a2 = sos_ref[k, 4], sos_ref[k, 5]
@@ -581,8 +591,11 @@ def _tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, votes0_ref,
     counts = jnp.where(mask_ref[...] > 0.0, counts, -1.0)
     vote = _first_max_index(counts)
 
-    preds_ref[0, 0] = pred[0, 0].astype(jnp.int32)
-    votes_out_ref[0, 0] = vote[0, 0].astype(jnp.int32)
+    # Outputs ride in (8, 1) blocks (Mosaic's minimum sublane tile — (1, 1)
+    # blocks fail lowering); each tick writes row i % 8 of the resident
+    # block, which rotates every 8 grid steps.
+    preds_ref[pl.ds(i % 8, 1), :] = pred.astype(jnp.int32)
+    votes_out_ref[pl.ds(i % 8, 1), :] = vote.astype(jnp.int32)
 
     @pl.when(i == n_ticks - 1)
     def _final():
@@ -635,17 +648,18 @@ def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
         const(ins[7]), const(ins[8]),
         *[const(a) for a in folded],
     ]
+    Kp = -(-K // 8) * 8  # per-tick outputs padded to the (8, 1) block tile
     out_shape = [
-        jax.ShapeDtypeStruct((K, 1), jnp.int32),          # per-tick pred
-        jax.ShapeDtypeStruct((K, 1), jnp.int32),          # per-tick vote
+        jax.ShapeDtypeStruct((Kp, 1), jnp.int32),         # per-tick pred
+        jax.ShapeDtypeStruct((Kp, 1), jnp.int32),         # per-tick vote
         jax.ShapeDtypeStruct((n_sec * 2, D), jnp.float32),
         jax.ShapeDtypeStruct((tail_rows, D), jnp.float32),
         jax.ShapeDtypeStruct((W, 1), jnp.int32),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.VMEM),
         const_shape((n_sec * 2, D)),
         const_shape((tail_rows, D)),
         pl.BlockSpec((W, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -674,7 +688,7 @@ def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
     )(*ins)
     carry = (iir_f.reshape(n_sec, 2, D), tail_f,
              votesw_f.reshape(W), nseen_f[0, 0])
-    return carry, preds[:, 0], votes_out[:, 0]
+    return carry, preds[:K, 0], votes_out[:K, 0]
 
 
 # =====================================================================
@@ -729,10 +743,10 @@ def _batched_tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, oh0_ref,
         tail_s[...] = tail0_ref[...]
         oh_s[...] = oh0_ref[...]
 
-    x = blocks_ref[0] * INGEST_PRESCALE   # (factor·S, emg_dim); ingest ×2¹⁰
-
     def sample(t, _):
-        y = jax.lax.dynamic_slice(x, (t * S, 0), (S, x.shape[1]))
+        # dynamic (S, D) sample read straight off the ref (Mosaic has no
+        # dynamic_slice on materialized values); ingest ×2¹⁰ rescale here
+        y = blocks_ref[0, pl.ds(t * S, S), :] * INGEST_PRESCALE
         for k in range(n_sec):  # static: transposed direct-form II SOS
             b0, b1, b2 = sos_ref[k, 0], sos_ref[k, 1], sos_ref[k, 2]
             a1, a2 = sos_ref[k, 4], sos_ref[k, 5]
@@ -771,7 +785,7 @@ def _batched_tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, oh0_ref,
     pred = _first_max_index(masked)                         # (S, 1) f32
 
     C = scores.shape[1]
-    cls = jax.lax.broadcasted_iota(jnp.float32, (S, C), 1)
+    cls = jax.lax.broadcasted_iota(jnp.int32, (S, C), 1).astype(jnp.float32)
     shifted = oh_s[S:vote_window * S, :]  # read before the aliased store
     oh_s[0:(vote_window - 1) * S, :] = shifted
     oh_s[(vote_window - 1) * S:vote_window * S, :] = (
@@ -814,6 +828,22 @@ def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
     W = votes.shape[1]
     n_classes = shared[-1].shape[1]
     n_layers = (len(shared) - 1) // 2
+
+    # Pad the session axis to Mosaic's sublane tile (8): the (S, 1) output
+    # blocks and every (S, ·) sublane slice require S % 8 == 0. Padded rows
+    # carry zero affines/masks and are sliced off below.
+    S_in = S
+    Sp = -(-S // 8) * 8
+    if Sp != S:
+        pad = Sp - S
+        blocks = jnp.pad(blocks, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        iir_state = jnp.pad(iir_state, ((0, pad),) + ((0, 0),) * 3)
+        tail = jnp.pad(tail, ((0, pad), (0, 0), (0, 0)))
+        votes = jnp.pad(votes, ((0, pad), (0, 0)))
+        n_seen = jnp.pad(jnp.asarray(n_seen), ((0, pad),))
+        subset_masks = jnp.pad(subset_masks, ((0, pad), (0, 0)))
+        affines = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in affines)
+        S = Sp
 
     # kernel row layouts: time/section-major, session-minor (every slice a
     # kernel touches is then a contiguous (S, ·) sublane block)
@@ -897,15 +927,16 @@ def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
         interpret=interpret,
     )(*ins)
 
-    # kernel layouts → engine layouts
-    iir_out = iir_f.reshape(n_sec, 2, S, D).transpose(2, 0, 1, 3)
-    tail_out = tail_f.reshape(tail_rows, S, D).transpose(1, 0, 2)
+    # kernel layouts → engine layouts (slicing off any session padding)
+    iir_out = iir_f.reshape(n_sec, 2, S, D).transpose(2, 0, 1, 3)[:S_in]
+    tail_out = tail_f.reshape(tail_rows, S, D).transpose(1, 0, 2)[:S_in]
     votes_win = jnp.argmax(
         oh_f.reshape(W, S, n_classes), axis=-1
-    ).astype(jnp.int32).T                                  # (S, W)
-    n_seen_out = jnp.minimum(n_seen + K, W).astype(jnp.int32)
+    ).astype(jnp.int32).T[:S_in]                           # (S, W)
+    n_seen_out = jnp.minimum(n_seen[:S_in] + K, W).astype(jnp.int32)
     carry = (iir_out, tail_out, votes_win, n_seen_out)
-    return (carry, preds.reshape(K, S), votes_out.reshape(K, S))
+    return (carry, preds.reshape(K, S)[:, :S_in],
+            votes_out.reshape(K, S)[:, :S_in])
 
 
 def fused_contrastive_reference(e, g):

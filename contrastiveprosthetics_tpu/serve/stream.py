@@ -473,7 +473,7 @@ class BatchedStreamingEngine:
             # (~16 MB/core): shared chain + per-session affines + DSP/vote
             # scratch + the double-buffered tick block. Fail loudly at
             # init instead of cryptically at Mosaic compile time.
-            S, D = n_sessions, cfg.emg_dim
+            S, D = -(-n_sessions // 8) * 8, cfg.emg_dim  # kernel pads S to 8
             W, C = cfg.prediction_window_size, self._single._class_emb.shape[0]
             n_sec = self._single._sos.shape[0]
             scratch = 4 * (

@@ -31,10 +31,22 @@ variables = model.init({"params": jax.random.PRNGKey(3)},
 class_emb = model.apply(variables, method=ContrastiveModel.encode_classes)
 folded = fold_encoder_params(variables["params"], variables["batch_stats"], class_emb)
 frames = jnp.asarray(rng.standard_normal((1000,12)).astype(np.float32))
+# Logic check under f32 matmul passes: kernel and XLA agree to float eps.
+# (At DEFAULT precision both paths use MXU bf16 passes but round through
+# different fusion schedules — measured max diff 3.3e-3 on ~0.7-scale
+# logits on v5e, argmax-identical; that is MXU rounding, not kernel logic.)
+with jax.default_matmul_precision("highest"):
+    got_h = jax.jit(lambda f, w: fused_encoder_logits(f, w, False))(frames, folded)
+    want_h = jax.jit(lambda f, w: fused_encoder_logits_reference(f, w))(frames, folded)
+assert np.allclose(np.asarray(got_h), np.asarray(want_h), rtol=2e-4, atol=2e-5), (
+    np.abs(np.asarray(got_h)-np.asarray(want_h)).max())
+# Serving-path check at DEFAULT precision: the decisions must agree.
 got = jax.jit(lambda f, w: fused_encoder_logits(f, w, False))(frames, folded)
 want = fused_encoder_logits_reference(frames, folded)
-assert np.allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5), (
+assert np.allclose(np.asarray(got), np.asarray(want), atol=8e-3), (
     np.abs(np.asarray(got)-np.asarray(want)).max())
+am = np.asarray(got).argmax(-1) == np.asarray(want).argmax(-1)
+assert am.mean() > 0.999, f"argmax agreement {am.mean()}"
 
 # fused serve tick chain (whole recording as one kernel) vs the XLA scan
 from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as CFG
