@@ -140,6 +140,8 @@ def phase_serve() -> dict:
         cfg, model, variables,
         emg_mean=np.zeros(cfg.emg_dim, np.float32),
         emg_std=np.ones(cfg.emg_dim, np.float32),
+        use_fused_encoder=False,  # the A/B's explicit XLA leg (the
+        # engine default is now fused-on-TPU per the recorded A/B)
     )
     rng = np.random.default_rng(0)
     block = rng.standard_normal((cfg.factor, cfg.emg_dim)).astype(np.float32)
@@ -244,6 +246,7 @@ def phase_serve() -> dict:
         emg_mean=np.zeros(cfg.emg_dim, np.float32),
         emg_std=np.ones(cfg.emg_dim, np.float32),
         n_sessions=S,
+        use_fused_encoder=False,  # explicit XLA leg (default now fused)
     )
     blocks64 = rng.standard_normal(
         (S, cfg.factor, cfg.emg_dim)

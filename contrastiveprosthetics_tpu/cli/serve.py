@@ -197,8 +197,12 @@ def main(argv=None):
         )
 
     if S == 1:
-        engine = StreamingEngine(cfg, model, variables, emg_mean, emg_std,
-                                 use_fused_encoder=args.fused_encoder)
+        # flag forces ON; absent → None = auto (fused on TPU, per the
+        # recorded v5e A/B — see StreamingEngine docstring)
+        engine = StreamingEngine(
+            cfg, model, variables, emg_mean, emg_std,
+            use_fused_encoder=True if args.fused_encoder else None,
+        )
         if calib is not None:
             if calib.ndim == 3:  # (sessions, samples, ch) file
                 if calib.shape[0] != 1:
@@ -252,7 +256,12 @@ def main(argv=None):
                   "--replay chain only; ignoring for per-tick streaming")
         engine = BatchedStreamingEngine(
             cfg, model, variables, emg_mean, emg_std, n_sessions=S,
-            mesh=mesh, use_fused_encoder=fused_b,
+            mesh=mesh,
+            # flag forces ON (replay only); absent → None = auto (fused on
+            # single-chip TPU within the VMEM budget, per the recorded A/B)
+            use_fused_encoder=True if fused_b else (
+                None if args.replay else False
+            ),
         )
         if calib is not None:
             calib = np.broadcast_to(

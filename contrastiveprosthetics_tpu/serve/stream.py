@@ -109,7 +109,11 @@ class StreamingEngine:
         """``use_fused_encoder``: run the tick's encoder+similarity as the
         single fused Pallas kernel (ops/pallas_ops.py §2) — the whole
         network's weights stream HBM→VMEM once per tick instead of one
-        XLA op launch per layer. None → OFF until its TPU A/B is recorded.
+        XLA op launch per layer. None → ON when running on TPU: the
+        recorded v5e A/B (2026-08-18, bench phase_serve) measured the
+        fused replay chain at 13.2 µs/tick marginal vs 173.0 µs for the
+        XLA chain — a 13.1× win. On CPU the kernel runs interpret-mode
+        (test-only speed), so None resolves to OFF there.
         This engine's fold absorbs the (calibratable) batch_stats into the
         weights; the batched engine keeps PER-SESSION statistics over
         shared weights and has its own fused replay (pallas_ops §4:
@@ -157,7 +161,11 @@ class StreamingEngine:
         # (~25 ms/call measured); argument arrays stay device-resident.
         self._dev_vars = jax.device_put(variables)
         self._dev_class_emb = jax.device_put(self._class_emb)
-        self._use_fused = bool(use_fused_encoder)  # None → pending TPU A/B
+        if use_fused_encoder is None:  # auto: v5e A/B 13.2 vs 173.0 µs/tick
+            from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+            use_fused_encoder = on_tpu()
+        self._use_fused = bool(use_fused_encoder)
         self._folded = self._fold() if self._use_fused else ()
         self._step = jax.jit(self._tick, donate_argnums=(0,))
         self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
@@ -419,9 +427,12 @@ class BatchedStreamingEngine:
         ONE batched Pallas kernel (ops/pallas_ops.py §4) — the shared
         BN-free weight chain streams HBM→VMEM once per recording and each
         session applies its own calibrated BN statistics as per-session
-        affine vectors. None → OFF until its TPU A/B is recorded.
-        Single-chip only (the kernel isn't mesh-sharded); per-tick
-        :meth:`step` stays on the vmapped XLA tick either way."""
+        affine vectors. None → ON when on TPU, single-chip, and the
+        geometry fits the VMEM budget (recorded v5e A/B 2026-08-18:
+        0.020 vs 0.191 ms/tick at 64 sessions — 9.6×); otherwise the
+        vmapped XLA chain. Single-chip only (the kernel isn't
+        mesh-sharded); per-tick :meth:`step` stays on the vmapped XLA
+        tick either way."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
@@ -433,8 +444,11 @@ class BatchedStreamingEngine:
                 "mesh-sharded — drop mesh= or the fused flag"
             )
         self.n_sessions = n_sessions
+        # the inner engine only supplies the XLA `_tick` for vmapping and
+        # shared preprocessing/folding helpers — never its own fused chain
         self._single = StreamingEngine(
-            cfg, model, variables, emg_mean, emg_std, glove_prototypes
+            cfg, model, variables, emg_mean, emg_std, glove_prototypes,
+            use_fused_encoder=False,
         )
         self.cfg = cfg
         self._mesh = mesh
@@ -454,7 +468,19 @@ class BatchedStreamingEngine:
         )
         self._step = jax.jit(self._vmapped_tick, donate_argnums=(0,))
         self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
-        self._use_fused = bool(use_fused_encoder)  # None → pending TPU A/B
+        if use_fused_encoder is None:
+            # auto: the recorded v5e A/B (2026-08-18, bench phase_serve)
+            # measured the §4 fused replay at 0.020 ms/tick for 64
+            # sessions vs 0.191 ms for the vmapped XLA chain — 9.6×. On
+            # CPU the kernel runs interpret-mode, so auto resolves OFF;
+            # over-VMEM-budget geometries also fall back (below).
+            from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+            auto = True
+            use_fused_encoder = on_tpu() and mesh is None
+        else:
+            auto = False
+        self._use_fused = bool(use_fused_encoder)
         if self._use_fused:
             from contrastiveprosthetics_tpu.ops.pallas_ops import (
                 fold_encoder_params_shared_jit,
@@ -468,11 +494,12 @@ class BatchedStreamingEngine:
                     dtype=getattr(model, "dtype", jnp.float32),
                 )
             ))
-            self._refresh_affines()
             # everything the §4 kernel holds resident must fit VMEM
             # (~16 MB/core): shared chain + per-session affines + DSP/vote
-            # scratch + the double-buffered tick block. Fail loudly at
-            # init instead of cryptically at Mosaic compile time.
+            # scratch + the double-buffered tick block. Checked BEFORE the
+            # (S, width) affines are materialized, so an over-budget S
+            # costs nothing; fail loudly here instead of cryptically at
+            # Mosaic compile time.
             S, D = -(-n_sessions // 8) * 8, cfg.emg_dim  # kernel pads S to 8
             W, C = cfg.prediction_window_size, self._single._class_emb.shape[0]
             n_sec = self._single._sos.shape[0]
@@ -482,12 +509,18 @@ class BatchedStreamingEngine:
                 + W * S * C * 2                        # one-hot votes ×2
                 + 2 * cfg.factor * S * D               # tick block ×2
             )
+            n_layers = (len(self._shared) - 1) // 2
+            affine_bytes = 8 * S * sum(
+                self._shared[2 * j].shape[1] for j in range(n_layers - 1)
+            )  # (a, c) f32 vectors per non-head layer
             est = (sum(int(np.prod(a.shape)) * a.dtype.itemsize
                        for a in self._shared)
-                   + sum(int(np.prod(a.shape)) * 4 for a in self._affines)
-                   + scratch)
+                   + affine_bytes + scratch)
             budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
-            if est > budget:
+            if est > budget and auto:
+                self._use_fused = False  # silent geometry fallback
+                self._shared = ()
+            elif est > budget:
                 raise ValueError(
                     f"batched fused tick chain needs ~{est / 2**20:.1f} MB "
                     f"VMEM-resident state at n_sessions={n_sessions} "
@@ -496,6 +529,8 @@ class BatchedStreamingEngine:
                     "or drop use_fused_encoder (the vmapped XLA tick has "
                     "no session limit)"
                 )
+        if self._use_fused:
+            self._refresh_affines()
             self._chain_b_jit = jax.jit(
                 fused_tick_chain_batched,
                 static_argnums=(11,),

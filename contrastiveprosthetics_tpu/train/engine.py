@@ -143,7 +143,14 @@ class Trainer:
             if self.scan_unroll is None:
                 self.scan_unroll = 2 if tpu else 1
         if self.use_fused_encoder is None:
-            self.use_fused_encoder = False  # pending its TPU A/B
+            # stays OFF by default: the recorded v5e A/B (2026-08-18,
+            # bench phase_eval) was neutral at eval geometry — xla
+            # 10.38 M vs fused 10.60 M windows/s canonical (+2.1 %),
+            # 10.58 M vs 10.50 M at the peak geometry (−0.8 %) — eval
+            # batches are large enough that XLA amortizes the per-layer
+            # HBM traffic the kernel removes. The kernel's wins are the
+            # serve tick chains (13.1×/9.6×), where it IS the default.
+            self.use_fused_encoder = False
         # the fused encoder requires inference-affine normalization and the
         # shared one-hot class embedding (see ops/pallas_ops.py §2)
         self._fused_encoder_eligible = (

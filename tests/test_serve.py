@@ -491,3 +491,51 @@ def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
     )
     assert int(c_f.n_seen) == int(c_x.n_seen)
     assert set(np.asarray(p_f).tolist()) <= {0, 7, 23, 30}
+
+
+def test_fused_default_auto_resolution(monkeypatch):
+    """None = auto: fused on TPU (recorded v5e A/B: 13.2 vs 173.0 µs/tick
+    single-session, 0.020 vs 0.191 ms/tick at 64 sessions), XLA on CPU;
+    over-VMEM-budget geometries silently fall back in auto mode but still
+    raise when the caller forced fused ON."""
+    from contrastiveprosthetics_tpu.ops import pallas_ops
+    from contrastiveprosthetics_tpu.serve.stream import (
+        BatchedStreamingEngine,
+    )
+
+    model = ContrastiveModel(
+        d_e=16, adabn=False, n_classes=CFG.max_tasks, n_linear=2, hidden=64
+    )
+    key = jax.random.PRNGKey(2)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    mk = lambda: StreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+    )
+    mkb = lambda S, **kw: BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S, **kw,
+    )
+
+    assert mk()._use_fused is False          # CPU: auto resolves OFF
+    assert mkb(4)._use_fused is False
+
+    monkeypatch.setattr(pallas_ops, "on_tpu", lambda: True)
+    assert mk()._use_fused is True           # "TPU": auto resolves ON
+    eng_b = mkb(4)
+    assert eng_b._use_fused is True
+    assert eng_b._single._use_fused is False  # inner tick stays XLA
+
+    # over-budget geometry: auto falls back, explicit still raises
+    # (narrow net → need a huge S to blow the 14 MB estimate)
+    assert mkb(65536)._use_fused is False
+    with pytest.raises(ValueError, match="VMEM"):
+        mkb(65536, use_fused_encoder=True)
