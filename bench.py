@@ -219,18 +219,21 @@ def phase_serve() -> dict:
                     t_best.get((name, K), float("inf")), t
                 )
     tick_us = slope_us(t_best, "xla", k_lo, k_hi)
+    tick_us_fused = (slope_us(t_best, "fused", k_lo, k_hi)
+                     if ("fused", k_hi) in t_best else None)
+    # headline = the production default path (fused on TPU since its
+    # recorded A/B win); the A/B dict below always carries both legs
+    tick_head = tick_us_fused if tick_us_fused is not None else tick_us
     out["serve_tick_device_us"] = (
-        round(tick_us, 1) if tick_us is not None else None
+        round(tick_head, 1) if tick_head is not None else None
     )
-    if tick_us is None:
+    if tick_head is None:
         out["serve_tick_error"] = "non-positive marginal slope (jitter)"
     else:
-        print(f"serve: marginal device cost {tick_us:.1f} µs/tick "
+        print(f"serve: marginal device cost {tick_head:.1f} µs/tick "
               f"(chains: {k_lo} ticks {t_best[('xla', k_lo)]*1e3:.1f} ms, "
               f"{k_hi} ticks {t_best[('xla', k_hi)]*1e3:.1f} ms)",
               file=sys.stderr)
-    tick_us_fused = (slope_us(t_best, "fused", k_lo, k_hi)
-                     if ("fused", k_hi) in t_best else None)
     out["serve_tick_encoder_ab_us"] = {
         "xla": round(tick_us, 1) if tick_us is not None else None,
         "fused": (round(tick_us_fused, 1)
@@ -281,12 +284,15 @@ def phase_serve() -> dict:
                 tb[(name, K)] = min(tb.get((name, K), float("inf")), t)
     us = (slope_us(tb, "multi", k_lo, k_hi)
           if ("multi", k_hi) in tb else None)  # leg may have been dropped
+    us_fused = (slope_us(tb, "multi_fused", k_lo, k_hi)
+                if ("multi_fused", k_hi) in tb else None)
+    us_head = us_fused if us_fused is not None else us  # production default
     out["serve_sessions"] = S
-    if us is None:
+    if us_head is None:
         out["serve_multi_tick_device_ms"] = None
         out["serve_multi_tick_error"] = "non-positive marginal slope"
     else:
-        tick_ms = us / 1e3
+        tick_ms = us_head / 1e3
         out["serve_multi_tick_device_ms"] = round(tick_ms, 3)
         # linear extrapolation from S=64 — a conservative floor:
         # per-session cost FALLS with S (3.7 µs at 64 → 0.2 µs at 4096;
@@ -300,8 +306,6 @@ def phase_serve() -> dict:
             f"at the 10 ms budget)",
             file=sys.stderr,
         )
-    us_fused = (slope_us(tb, "multi_fused", k_lo, k_hi)
-                if ("multi_fused", k_hi) in tb else None)
     out["serve_multi_chain_ab_ms"] = {
         "xla": round(us / 1e3, 3) if us is not None else None,
         "fused": round(us_fused / 1e3, 3) if us_fused is not None else None,

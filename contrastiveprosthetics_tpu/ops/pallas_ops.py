@@ -28,6 +28,12 @@
    calibrated BatchNorm statistics applied as (S, width) affine vectors
    inside the kernel. Design notes at the §4 banner.
 
+Recorded v5e A/Bs (2026-08-18, phase-isolated bench) and the resulting
+defaults: §3 13.2 vs 173.0 µs/tick (13.1×) and §4 0.020 vs 0.191 ms/tick
+at 64 sessions (9.6×) — both serve engines default to the fused chain on
+TPU. §2 at eval geometry is neutral (10.60 vs 10.38 M windows/s
+canonical, 10.50 vs 10.58 M peak) — the Trainer eval default stays XLA.
+
 A second kernel — ``gather_normalize``, a scalar-prefetched row-gather from
 the device-resident window store fused with ``(x − mean)/std`` — was built,
 A/B'd on TPU v5e, and DELETED (VERDICT r1 §weak-1): gathered rows are
