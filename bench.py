@@ -427,7 +427,9 @@ def phase_train() -> dict:
 
     e_lo, e_hi = 5, 20
 
-    def timed_run(tr, n_epochs: int, seed: int, warm: bool) -> float:
+    def timed_run(tr, n_epochs: int, seed: int, warm: bool,
+                  root=None) -> float:
+        root = key if root is None else root
         st = tr.init_state(key)
         ones = np.ones(n_epochs, np.float32)
         t = float("inf")
@@ -435,7 +437,7 @@ def phase_train() -> dict:
             t0 = time.perf_counter()
             st, losses, _ = tr.train_epochs(
                 st,
-                jax.random.split(jax.random.fold_in(key, seed + i), n_epochs),
+                jax.random.split(jax.random.fold_in(root, seed + i), n_epochs),
                 hyper, ones, ones,
             )
             np.asarray(losses)  # readback: the only reliable sync here
@@ -459,30 +461,53 @@ def phase_train() -> dict:
     v = tr_pallas.view_train
     # drop-last batching: an epoch trains (D // bs) * bs items
     wpe = (v.D // tr_pallas.batch_size) * tr_pallas.batch_size * v.n_tasks
-    t_best = {("pallas", e_lo): np.inf, ("pallas", e_hi): np.inf,
-              ("xla", e_lo): np.inf, ("xla", e_hi): np.inf}
+    # third leg: same default (pallas-loss) trainer, epoch keys from the
+    # TPU hardware RNG (--prng_impl rbg) instead of threefry counters —
+    # the sweep's rbg A/B won +25 % (sweep_ab.f32_rbg); this bounds the
+    # single-run win. Default stays threefry (stream reproducibility).
+    legs = [("pallas", tr_pallas, None), ("xla", tr_xla, None)]
+    try:
+        legs.append(("rbg", tr_pallas, jax.random.key(0, impl="rbg")))
+    except Exception as e:  # an A/B leg must never sink the headline
+        print(f"train rbg leg unavailable: {e}", file=sys.stderr)
+    t_best = {(name, n): np.inf for name, _, _ in legs
+              for n in (e_lo, e_hi)}
     for trial in range(3):
-        for name, tr in (("pallas", tr_pallas), ("xla", tr_xla)):
+        for name, tr, root in list(legs):
             for n in (e_lo, e_hi):
-                t = timed_run(tr, n, seed=131 * trial, warm=(trial == 0))
+                try:
+                    t = timed_run(tr, n, seed=131 * trial,
+                                  warm=(trial == 0), root=root)
+                except Exception as e:
+                    if name in ("pallas", "xla"):
+                        raise  # headline legs must surface failures
+                    print(f"train {name} leg failed: {e}", file=sys.stderr)
+                    legs.remove((name, tr, root))
+                    break
                 t_best[(name, n)] = min(t_best[(name, n)], t)
     best = {
         name: (e_hi - e_lo) * wpe
         / (t_best[(name, e_hi)] - t_best[(name, e_lo)])
-        for name in ("pallas", "xla")
+        for name, _, _ in legs
     }
     train_wps = best["pallas"]
     print(
         f"train: {train_wps:,.0f} windows/s (marginal single-dispatch epoch "
         f"scan, timed to readback); loss A/B pallas {best['pallas']:,.0f} "
-        f"vs xla {best['xla']:,.0f}",
+        f"vs xla {best['xla']:,.0f}"
+        + (f"; prng A/B threefry {best['pallas']:,.0f} vs rbg "
+           f"{best['rbg']:,.0f}" if "rbg" in best else ""),
         file=sys.stderr,
     )
-    return {
+    out = {
         "train_windows_per_sec": round(train_wps, 1),
         "device_kind": dev.device_kind,
-        "train_loss_ab": {k: round(x, 1) for k, x in best.items()},
+        "train_loss_ab": {k: round(best[k], 1) for k in ("pallas", "xla")},
     }
+    if "rbg" in best:
+        out["train_prng_ab"] = {"threefry": round(best["pallas"], 1),
+                                "rbg": round(best["rbg"], 1)}
+    return out
 
 
 # ================================================================ train peak
