@@ -194,7 +194,11 @@ def phase_serve() -> dict:
     # ALTERNATE impls so both see the same process history (large
     # programs degrade later large programs in-process — the bench's own
     # contamination rule; phase_train does the same).
-    k_lo, k_hi = 250, 2000
+    # the fused chain runs ~5-13 µs/tick, so 250→2000 left ~10-25 ms of
+    # signal — close enough to tunnel jitter that fused readings spread
+    # 1.2-13.2 µs across runs. 250→8000 gives ≥45 ms of fused signal
+    # (XLA leg: ~1.3 s/chain, still seconds per phase).
+    k_lo, k_hi = 250, 8000
     legs = [("xla", engine)]
     try:
         legs.append(("fused", StreamingEngine(
@@ -218,7 +222,8 @@ def phase_serve() -> dict:
                 t_best[(name, K)] = min(
                     t_best.get((name, K), float("inf")), t
                 )
-    tick_us = slope_us(t_best, "xla", k_lo, k_hi)
+    tick_us = (slope_us(t_best, "xla", k_lo, k_hi)
+               if ("xla", k_hi) in t_best else None)  # leg may have dropped
     tick_us_fused = (slope_us(t_best, "fused", k_lo, k_hi)
                      if ("fused", k_hi) in t_best else None)
     # headline = the production default path (fused on TPU since its
@@ -230,10 +235,11 @@ def phase_serve() -> dict:
     if tick_head is None:
         out["serve_tick_error"] = "non-positive marginal slope (jitter)"
     else:
+        head_leg = "fused" if tick_us_fused is not None else "xla"
         print(f"serve: marginal device cost {tick_head:.1f} µs/tick "
-              f"(chains: {k_lo} ticks {t_best[('xla', k_lo)]*1e3:.1f} ms, "
-              f"{k_hi} ticks {t_best[('xla', k_hi)]*1e3:.1f} ms)",
-              file=sys.stderr)
+              f"({head_leg} chains: {k_lo} ticks "
+              f"{t_best[(head_leg, k_lo)]*1e3:.1f} ms, {k_hi} ticks "
+              f"{t_best[(head_leg, k_hi)]*1e3:.1f} ms)", file=sys.stderr)
     out["serve_tick_encoder_ab_us"] = {
         "xla": round(tick_us, 1) if tick_us is not None else None,
         "fused": (round(tick_us_fused, 1)
@@ -258,7 +264,11 @@ def phase_serve() -> dict:
     # A/B: the batched fused tick chain (ops/pallas_ops.py §4 — shared
     # weights VMEM-resident across the whole recording, per-session BN
     # affines) vs the vmapped XLA scan, alternating trials as above.
-    k_lo, k_hi = 50, 400
+    # the fused chain runs ~0.02 ms/tick, so the 50→400 length pair left
+    # only ~7 ms of signal — under the tunnel's run-to-run jitter (one
+    # inverted-slope null observed). 50→1600 gives ~30 ms of fused signal
+    # (XLA leg: ~300 ms) while the 1600-tick input block stays ~98 MB HBM.
+    k_lo, k_hi = 50, 1600
     legs_m = [("multi", batched)]
     try:
         legs_m.append(("multi_fused", BatchedStreamingEngine(
@@ -294,16 +304,22 @@ def phase_serve() -> dict:
     else:
         tick_ms = us_head / 1e3
         out["serve_multi_tick_device_ms"] = round(tick_ms, 3)
-        # linear extrapolation from S=64 — a conservative floor:
-        # per-session cost FALLS with S (3.7 µs at 64 → 0.2 µs at 4096;
-        # capacity study in docs/SCALING.md measured a 32,768-session
-        # tick at 8.2 ms)
-        out["serve_sessions_per_chip_floor"] = int(S * 10.0 / tick_ms)
+        # the sessions/chip floor extrapolates linearly from S=64, so it
+        # must come from the XLA chain (valid at any S; per-session cost
+        # FALLS with S — 3.7 µs at 64 → 0.2 µs at 4096; the capacity
+        # study measured a 32,768-session tick at 8.2 ms). The fused
+        # chain is faster but VMEM-capped at ~80 f32 sessions, so its
+        # slope must NOT be extrapolated across the fallback boundary.
+        if us is not None:
+            out["serve_sessions_per_chip_floor"] = int(S * 10.0 / (us / 1e3))
+        floor_txt = (
+            f"; ≥{out['serve_sessions_per_chip_floor']:,} sessions/chip "
+            f"floor at the 10 ms budget, XLA-chain extrapolation"
+            if us is not None else ""
+        )
         print(
             f"serve: {S} concurrent sessions {tick_ms:.3f} ms/tick marginal "
-            f"({tick_ms / S * 1e3:.1f} µs/session; ≥"
-            f"{out['serve_sessions_per_chip_floor']:,} sessions/chip floor "
-            f"at the 10 ms budget)",
+            f"({tick_ms / S * 1e3:.1f} µs/session{floor_txt})",
             file=sys.stderr,
         )
     out["serve_multi_chain_ab_ms"] = {

@@ -29,10 +29,13 @@
    inside the kernel. Design notes at the §4 banner.
 
 Recorded v5e A/Bs (2026-08-18, phase-isolated bench) and the resulting
-defaults: §3 13.2 vs 173.0 µs/tick (13.1×) and §4 0.020 vs 0.191 ms/tick
-at 64 sessions (9.6×) — both serve engines default to the fused chain on
-TPU. §2 at eval geometry is neutral (10.60 vs 10.38 M windows/s
-canonical, 10.50 vs 10.58 M peak) — the Trainer eval default stays XLA.
+defaults: §3 1.2-1.5 vs 166-173 µs/tick (~115×; early short-chain runs
+read 5.7-13.2 µs — jitter-inflated, which drove the bench's chain
+lengths up until fused signal ≫ tunnel jitter) and §4 0.004-0.020 vs
+0.19-0.23 ms/tick at 64 sessions (0.06-0.31 µs/session) — both serve
+engines default to the fused chain on TPU. §2 at eval geometry is
+neutral (10.60 vs 10.38 M windows/s canonical, 10.50 vs 10.58 M peak) —
+the Trainer eval default stays XLA.
 
 A second kernel — ``gather_normalize``, a scalar-prefetched row-gather from
 the device-resident window store fused with ``(x − mean)/std`` — was built,
@@ -81,6 +84,16 @@ from contrastiveprosthetics_tpu.config import INGEST_PRESCALE
 
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+SUBLANE = 8  # Mosaic's f32 sublane tile: min second-to-last block dim
+
+
+def ceil_to_sublane(n: int) -> int:
+    """Round up to the sublane tile — the single source for every padded
+    kernel axis AND for the VMEM estimates that gate the fused defaults
+    (serve/stream.py); keep them in lockstep by importing this."""
+    return -(-n // SUBLANE) * SUBLANE
 
 
 # =====================================================================
@@ -472,7 +485,7 @@ def fused_encoder_logits(frames, folded, interpret: bool = False):
     # block size adapts downward for small N (the single-row serve tick
     # pads to one 8-row sublane tile, not a full 256-row eval block —
     # ~32× less per-tick MXU row work)
-    R = min(_ENC_BLOCK_ROWS, -(-N // 8) * 8)
+    R = min(_ENC_BLOCK_ROWS, ceil_to_sublane(N))
     pad = (-N) % R
     x = jnp.pad(frames, ((0, pad), (0, 0))) if pad else frames
 
@@ -654,7 +667,7 @@ def fused_tick_chain(iir_state, tail, votes, n_seen, blocks, subset_mask,
         const(ins[7]), const(ins[8]),
         *[const(a) for a in folded],
     ]
-    Kp = -(-K // 8) * 8  # per-tick outputs padded to the (8, 1) block tile
+    Kp = ceil_to_sublane(K)  # per-tick outputs padded to the (8, 1) block tile
     out_shape = [
         jax.ShapeDtypeStruct((Kp, 1), jnp.int32),         # per-tick pred
         jax.ShapeDtypeStruct((Kp, 1), jnp.int32),         # per-tick vote
@@ -839,7 +852,7 @@ def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
     # blocks and every (S, ·) sublane slice require S % 8 == 0. Padded rows
     # carry zero affines/masks and are sliced off below.
     S_in = S
-    Sp = -(-S // 8) * 8
+    Sp = ceil_to_sublane(S)
     if Sp != S:
         pad = Sp - S
         blocks = jnp.pad(blocks, ((0, 0), (0, pad), (0, 0), (0, 0)))

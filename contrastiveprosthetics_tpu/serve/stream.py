@@ -21,12 +21,13 @@ Design notes vs the offline path:
     recompilation.
 
 Perf note (v5e, marginal tick-chain cost, device-resident inputs):
-177-188 µs/tick single-session. Unrolling was A/B'd and rejected — fully
-unrolling the 20-sample IIR scan and 2×-unrolling the tick chain reads
-172 µs (−8 %); the tick is bound by the 7-layer encoder's sequential
-1-row GEMMs, not the DSP, and the single-session path has ~50× headroom
-under the 10 ms budget anyway. The multi-session vmapped tick amortizes
-the layer-chain latency to 2.6-3.5 µs/session at 64 sessions.
+1.2-1.5 µs/tick single-session on the fused Pallas tick chain
+(ops/pallas_ops.py §3, the TPU default since its recorded A/B) vs
+166-188 µs on the XLA chain — the XLA tick is bound by the 7-layer
+encoder's sequential 1-row GEMMs re-streaming weights from HBM every
+tick (unrolling the IIR scan was A/B'd there: −8 %, rejected). The
+batched fused chain (§4) serves 64 sessions at 0.06-0.31 µs/session;
+the vmapped XLA tick it replaced reads 2.6-3.5 µs/session.
 """
 from __future__ import annotations
 
@@ -111,8 +112,8 @@ class StreamingEngine:
         network's weights stream HBM→VMEM once per tick instead of one
         XLA op launch per layer. None → ON when running on TPU: the
         recorded v5e A/B (2026-08-18, bench phase_serve) measured the
-        fused replay chain at 13.2 µs/tick marginal vs 173.0 µs for the
-        XLA chain — a 13.1× win. On CPU the kernel runs interpret-mode
+        fused replay chain at 1.2-1.5 µs/tick marginal vs 166-173 µs for
+        the XLA chain — ~115×. On CPU the kernel runs interpret-mode
         (test-only speed), so None resolves to OFF there.
         This engine's fold absorbs the (calibratable) batch_stats into the
         weights; the batched engine keeps PER-SESSION statistics over
@@ -161,7 +162,7 @@ class StreamingEngine:
         # (~25 ms/call measured); argument arrays stay device-resident.
         self._dev_vars = jax.device_put(variables)
         self._dev_class_emb = jax.device_put(self._class_emb)
-        if use_fused_encoder is None:  # auto: v5e A/B 13.2 vs 173.0 µs/tick
+        if use_fused_encoder is None:  # auto: v5e A/B 1.5 vs 172 µs/tick
             from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
 
             use_fused_encoder = on_tpu()
@@ -429,7 +430,8 @@ class BatchedStreamingEngine:
         session applies its own calibrated BN statistics as per-session
         affine vectors. None → ON when on TPU, single-chip, and the
         geometry fits the VMEM budget (recorded v5e A/B 2026-08-18:
-        0.020 vs 0.191 ms/tick at 64 sessions — 9.6×); otherwise the
+        0.004-0.020 vs 0.19-0.23 ms/tick at 64 sessions — 10-53×);
+        otherwise the
         vmapped XLA chain. Single-chip only (the kernel isn't
         mesh-sharded); per-tick :meth:`step` stays on the vmapped XLA
         tick either way."""
@@ -470,8 +472,8 @@ class BatchedStreamingEngine:
         self._steps_jit = jax.jit(self._tick_chain, donate_argnums=(0,))
         if use_fused_encoder is None:
             # auto: the recorded v5e A/B (2026-08-18, bench phase_serve)
-            # measured the §4 fused replay at 0.020 ms/tick for 64
-            # sessions vs 0.191 ms for the vmapped XLA chain — 9.6×. On
+            # measured the §4 fused replay at 0.004-0.020 ms/tick for 64
+            # sessions vs 0.19-0.23 ms for the vmapped XLA chain. On
             # CPU the kernel runs interpret-mode, so auto resolves OFF;
             # over-VMEM-budget geometries also fall back (below).
             from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
@@ -495,19 +497,30 @@ class BatchedStreamingEngine:
                 )
             ))
             # everything the §4 kernel holds resident must fit VMEM
-            # (~16 MB/core): shared chain + per-session affines + DSP/vote
-            # scratch + the double-buffered tick block. Checked BEFORE the
+            # (~16 MB/core): shared chain + per-session affines + the
+            # full per-session buffer census below. Checked BEFORE the
             # (S, width) affines are materialized, so an over-budget S
             # costs nothing; fail loudly here instead of cryptically at
             # Mosaic compile time.
-            S, D = -(-n_sessions // 8) * 8, cfg.emg_dim  # kernel pads S to 8
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                ceil_to_sublane,
+            )
+
+            S, D = ceil_to_sublane(n_sessions), cfg.emg_dim
             W, C = cfg.prediction_window_size, self._single._class_emb.shape[0]
             n_sec = self._single._sos.shape[0]
-            scratch = 4 * (
-                n_sec * 2 * S * D                      # IIR registers
-                + (2 * (cfg.rms_window - 1) + 2 * cfg.factor) * S * D
-                + W * S * C * 2                        # one-hot votes ×2
-                + 2 * cfg.factor * S * D               # tick block ×2
+            tail_rows = cfg.rms_window - 1
+            # every S-scaled buffer the pallas_call keeps in VMEM: the
+            # carry triples (scratch + const input + final output) for
+            # IIR/tail/one-hot, the filt/win scratch, the double-buffered
+            # tick block, masks, and the pred/vote output blocks
+            resident_words = (
+                3 * n_sec * 2 * S * D            # IIR: scratch + in + out
+                + 3 * tail_rows * S * D          # RMS tail: scratch + in + out
+                + 3 * W * S * C                  # one-hot votes: scratch + in + out
+                + (2 * cfg.factor + tail_rows) * S * D   # filt + win scratch
+                + 2 * cfg.factor * S * D         # tick block, double-buffered
+                + S * C + 2 * S                  # masks + pred/vote blocks
             )
             n_layers = (len(self._shared) - 1) // 2
             affine_bytes = 8 * S * sum(
@@ -515,7 +528,7 @@ class BatchedStreamingEngine:
             )  # (a, c) f32 vectors per non-head layer
             est = (sum(int(np.prod(a.shape)) * a.dtype.itemsize
                        for a in self._shared)
-                   + affine_bytes + scratch)
+                   + affine_bytes + 4 * resident_words)
             budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
             if est > budget and auto:
                 self._use_fused = False  # silent geometry fallback

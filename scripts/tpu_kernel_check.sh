@@ -45,8 +45,10 @@ got = jax.jit(lambda f, w: fused_encoder_logits(f, w, False))(frames, folded)
 want = fused_encoder_logits_reference(frames, folded)
 assert np.allclose(np.asarray(got), np.asarray(want), atol=8e-3), (
     np.abs(np.asarray(got)-np.asarray(want)).max())
+# ≥99.9% decision agreement: MXU rounding may legitimately flip a rare
+# near-tie frame (top-2 logits within the ~3.3e-3 rounding band)
 am = np.asarray(got).argmax(-1) == np.asarray(want).argmax(-1)
-assert am.mean() > 0.999, f"argmax agreement {am.mean()}"
+assert am.mean() >= 0.999, f"argmax agreement {am.mean()}"
 
 # fused serve tick chain (whole recording as one kernel) vs the XLA scan
 from contrastiveprosthetics_tpu.config import DEFAULT_CONFIG as CFG

@@ -494,8 +494,8 @@ def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
 
 
 def test_fused_default_auto_resolution(monkeypatch):
-    """None = auto: fused on TPU (recorded v5e A/B: 13.2 vs 173.0 µs/tick
-    single-session, 0.020 vs 0.191 ms/tick at 64 sessions), XLA on CPU;
+    """None = auto: fused on TPU (recorded v5e A/B: ~1.5 vs ~172 µs/tick
+    single-session, 0.004-0.020 vs ~0.2 ms/tick at 64 sessions), XLA on CPU;
     over-VMEM-budget geometries silently fall back in auto mode but still
     raise when the caller forced fused ON."""
     from contrastiveprosthetics_tpu.ops import pallas_ops
