@@ -246,9 +246,8 @@ def main(argv=None):
             print(f"sessions sharded over {mesh}")
         fused_b = args.fused_encoder and args.replay
         if fused_b and mesh is not None:
-            print("--fused_encoder is single-chip (the §4 kernel is not "
-                  "mesh-sharded); ignoring under --spmd")
-            fused_b = False
+            print("--fused_encoder under --spmd: each chip runs the fused "
+                  "chain on its session shard (shard_map over dp)")
         if args.fused_encoder and not args.replay:
             # don't build (or VMEM-check) the fused engine for a path that
             # never uses it — per-tick steps stay on the XLA tick

@@ -428,22 +428,19 @@ class BatchedStreamingEngine:
         ONE batched Pallas kernel (ops/pallas_ops.py §4) — the shared
         BN-free weight chain streams HBM→VMEM once per recording and each
         session applies its own calibrated BN statistics as per-session
-        affine vectors. None → ON when on TPU, single-chip, and the
-        geometry fits the VMEM budget (recorded v5e A/B 2026-08-18:
-        0.004-0.020 vs 0.19-0.23 ms/tick at 64 sessions — 10-53×);
-        otherwise the
-        vmapped XLA chain. Single-chip only (the kernel isn't
-        mesh-sharded); per-tick :meth:`step` stays on the vmapped XLA
-        tick either way."""
+        affine vectors. Under ``mesh=`` the kernel runs per chip via
+        ``shard_map`` over ``dp`` (sessions are independent — zero
+        collectives), each chip fusing its own session shard; the VMEM
+        budget then applies per shard, so fused capacity scales linearly
+        with chips. None → ON when on TPU and the per-shard geometry
+        fits the VMEM budget (recorded v5e A/B 2026-08-18: 0.004-0.020
+        vs 0.19-0.23 ms/tick at 64 sessions — 10-53×); otherwise the
+        vmapped XLA chain. Per-tick :meth:`step` stays on the vmapped
+        XLA tick either way."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
                 f"{mesh.shape['dp']}"
-            )
-        if mesh is not None and use_fused_encoder:
-            raise ValueError(
-                "use_fused_encoder is single-chip: the §4 kernel is not "
-                "mesh-sharded — drop mesh= or the fused flag"
             )
         self.n_sessions = n_sessions
         # the inner engine only supplies the XLA `_tick` for vmapping and
@@ -479,7 +476,7 @@ class BatchedStreamingEngine:
             from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
 
             auto = True
-            use_fused_encoder = on_tpu() and mesh is None
+            use_fused_encoder = on_tpu()
         else:
             auto = False
         self._use_fused = bool(use_fused_encoder)
@@ -489,7 +486,7 @@ class BatchedStreamingEngine:
                 fused_tick_chain_batched,
             )
 
-            self._shared = tuple(jax.device_put(
+            self._shared = tuple(self._replicate(
                 fold_encoder_params_shared_jit(
                     self._params["params"],
                     self._single._class_emb,
@@ -506,7 +503,11 @@ class BatchedStreamingEngine:
                 ceil_to_sublane,
             )
 
-            S, D = ceil_to_sublane(n_sessions), cfg.emg_dim
+            # under a mesh the kernel runs per chip on its session shard
+            # (shard_map over dp), so the budget applies to the SHARD
+            n_local = (n_sessions // mesh.shape["dp"]
+                       if mesh is not None else n_sessions)
+            S, D = ceil_to_sublane(n_local), cfg.emg_dim
             W, C = cfg.prediction_window_size, self._single._class_emb.shape[0]
             n_sec = self._single._sos.shape[0]
             tail_rows = cfg.rms_window - 1
@@ -536,31 +537,98 @@ class BatchedStreamingEngine:
             elif est > budget:
                 raise ValueError(
                     f"batched fused tick chain needs ~{est / 2**20:.1f} MB "
-                    f"VMEM-resident state at n_sessions={n_sessions} "
-                    f"(budget ~{budget / 2**20:.0f} MB): reduce sessions, "
-                    "use a bfloat16 model dtype (halves the weight chain), "
-                    "or drop use_fused_encoder (the vmapped XLA tick has "
-                    "no session limit)"
+                    f"VMEM-resident state for {n_local} sessions"
+                    + ("/chip" if mesh is not None else "")
+                    + f" (budget ~{budget / 2**20:.0f} MB): reduce "
+                    "sessions, shard over more chips (mesh=), use a "
+                    "bfloat16 model dtype (halves the weight chain), or "
+                    "drop use_fused_encoder (the vmapped XLA tick has no "
+                    "session limit)"
                 )
         if self._use_fused:
             self._refresh_affines()
-            self._chain_b_jit = jax.jit(
-                fused_tick_chain_batched,
-                static_argnums=(11,),
-                donate_argnums=(0, 1, 2, 3),
-            )
+            if mesh is None:
+                self._chain_b_jit = jax.jit(
+                    fused_tick_chain_batched,
+                    static_argnums=(11,),
+                    donate_argnums=(0, 1, 2, 3),
+                )
+            else:
+                self._chain_b_jit = self._build_sharded_chain(
+                    mesh, fused_tick_chain_batched
+                )
 
     def _refresh_affines(self) -> None:
         """Per-session BN affine vectors for the §4 kernel; re-derived
-        whenever any session's statistics change (calibrate_session)."""
+        whenever any session's statistics change (calibrate_session).
+        Leading axis is the session axis → sharded over dp on a mesh."""
         from contrastiveprosthetics_tpu.ops.pallas_ops import (
             session_bn_affines_jit,
         )
 
-        self._affines = tuple(jax.device_put(session_bn_affines_jit(
+        self._affines = tuple(self._place_sessions(session_bn_affines_jit(
             self._params["params"], self._batch_stats
         )))
         self._affines_dirty = False
+
+    def _replicate(self, tree):
+        """device_put replicated over the mesh (single-chip: plain put)."""
+        if self._mesh is None:
+            return jax.device_put(tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            tree,
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(self._mesh, P()), tree
+            ),
+        )
+
+    def _build_sharded_chain(self, mesh, fused_tick_chain_batched):
+        """The §4 fused chain per chip: ``shard_map`` over ``dp`` with the
+        session axis sharded and the weight chain replicated — sessions
+        are independent, so the program has ZERO collectives and each
+        chip runs the whole-recording kernel on its own session shard
+        (same formulation as parallel/spmd.py's config-sharded crossval).
+        The returned jit matches the single-chip chain's donation; the
+        interpret flag is baked at build time (CPU meshes run the kernel
+        interpret-mode, exactly like the single-chip tests)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+        interpret = not on_tpu()
+        sess = lambda nd: P(*(("dp",) + (None,) * (nd - 1)))
+        in_specs = (
+            sess(4),                    # iir_state (S, n_sec, 2, D)
+            sess(3),                    # tail (S, rms_window-1, D)
+            sess(2),                    # votes (S, W)
+            sess(1),                    # n_seen (S,)
+            P(None, "dp", None, None),  # blocks (K, S, factor, D)
+            sess(2),                    # subset masks (S, C)
+            P(), P(), P(),              # sos, mean, std (replicated)
+            tuple(P() for _ in self._shared),
+            tuple(sess(2) for _ in self._affines),
+        )
+        out_specs = (
+            (sess(4), sess(3), sess(2), sess(1)),  # carry
+            P(None, "dp"),              # per-tick preds (K, S)
+            P(None, "dp"),              # per-tick votes (K, S)
+        )
+
+        def local(iir, tail, votes, n_seen, blocks, masks, sos, mean, std,
+                  shared, affines):
+            return fused_tick_chain_batched(
+                iir, tail, votes, n_seen, blocks, masks, sos, mean, std,
+                shared, affines, interpret,
+            )
+
+        return jax.jit(
+            shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False),
+            donate_argnums=(0, 1, 2, 3),
+        )
 
     def _place_sessions(self, tree):
         """Shard the leading (session) axis over the mesh's dp dimension;
@@ -670,7 +738,9 @@ class BatchedStreamingEngine:
         if self._use_fused:
             # whole multi-session replay as ONE kernel (pallas_ops §4):
             # shared weights + per-session BN affines stream HBM→VMEM once
-            # per recording; per-session DSP state lives in VMEM scratch
+            # per recording; per-session DSP state lives in VMEM scratch.
+            # On a mesh the jit is the shard_map-wrapped per-chip kernel
+            # (session axis sharded; interpret flag baked at build time).
             from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
 
             if self._affines_dirty:
@@ -678,14 +748,23 @@ class BatchedStreamingEngine:
             C = self._single._class_emb.shape[0]
             if subset_masks is None:
                 subset_masks = jnp.ones((self.n_sessions, C), dtype=bool)
-            (iir, tail, votes, n_seen), preds, vote_preds = (
-                self._chain_b_jit(
-                    carries.iir_state, carries.tail, carries.votes,
-                    carries.n_seen, blocks_seq,
-                    jnp.asarray(subset_masks), self._single._sos,
-                    self._single._mean, self._single._std,
-                    self._shared, self._affines, not on_tpu(),
+            masks = self._place_sessions(jnp.asarray(subset_masks))
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                blocks_seq = jax.device_put(
+                    blocks_seq,
+                    NamedSharding(self._mesh, P(None, "dp", None, None)),
                 )
+            args = (
+                carries.iir_state, carries.tail, carries.votes,
+                carries.n_seen, blocks_seq, masks, self._single._sos,
+                self._single._mean, self._single._std,
+                self._shared, self._affines,
+            )
+            (iir, tail, votes, n_seen), preds, vote_preds = (
+                self._chain_b_jit(*args) if self._mesh is not None
+                else self._chain_b_jit(*args, not on_tpu())
             )
             return (StreamCarry(iir, tail, votes, n_seen), preds,
                     vote_preds)

@@ -439,7 +439,11 @@ def test_batched_fused_rejects_vmem_overflow():
         )
 
 
-def test_batched_fused_rejects_mesh():
+def test_batched_fused_chain_shards_over_mesh(rng):
+    """The §4 fused chain under a dp mesh (shard_map, one kernel per chip
+    on its session shard) must reproduce the single-chip fused chain
+    tick-for-tick — sessions are independent, zero collectives. Also pins
+    that a calibrated session's affines ride the shard correctly."""
     from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
     from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
 
@@ -452,16 +456,65 @@ def test_batched_fused_rejects_mesh():
         jnp.zeros((2, CFG.max_tasks, 20)),
         0.5, 0.5, True,
     )
-    mesh = make_mesh(n_dp=len(jax.devices()), n_mp=1)
-    with pytest.raises(ValueError, match="single-chip"):
-        BatchedStreamingEngine(
-            CFG, model, variables,
-            emg_mean=np.zeros(12, np.float32),
-            emg_std=np.ones(12, np.float32),
-            n_sessions=len(jax.devices()),
-            mesh=mesh,
-            use_fused_encoder=True,
+    S = 2 * len(jax.devices())  # 2 sessions per chip (odd per-shard pad path)
+    mk = lambda mesh: BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S, mesh=mesh, use_fused_encoder=True,
+    )
+    sharded = mk(make_mesh(n_dp=len(jax.devices()), n_mp=1))
+    plain = mk(None)
+    calib = (rng.standard_normal((1500, 12)) * 3 + 1).astype(np.float32)
+    sharded.calibrate_session(3, calib)
+    plain.calibrate_session(3, calib)
+
+    masks = np.ones((S, CFG.max_tasks), bool)
+    masks[1, 25:] = False
+    blocks = (rng.standard_normal((6, S, CFG.factor, 12)) * 2.0
+              ).astype(np.float32)
+    c_sh, p_sh, v_sh = sharded.steps(sharded.init_carries(), blocks, masks)
+    c_pl, p_pl, v_pl = plain.steps(plain.init_carries(), blocks, masks)
+    np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_pl))
+    np.testing.assert_array_equal(np.asarray(v_sh), np.asarray(v_pl))
+    for a, b in zip(jax.tree_util.tree_leaves(c_sh),
+                    jax.tree_util.tree_leaves(c_pl)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_batched_fused_mesh_gate_is_per_shard():
+    """The VMEM gate under a mesh applies to the per-chip session shard:
+    a session count whose SHARD fits must initialize fused even when the
+    global count would not fit one chip."""
+    from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks,
+                             n_linear=2, hidden=64)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dp=n_dev, n_mp=1)
+    mk = lambda S, mesh: BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S, mesh=mesh, use_fused_encoder=True,
+    )
+    # a small per-shard count initializes fused on the mesh...
+    assert mk(8 * n_dev, mesh)._use_fused is True
+    # ...while an over-budget PER-SHARD count raises (65536/chip is the
+    # same geometry the single-chip gate rejects in the auto test), and
+    # the message names the per-chip count
+    with pytest.raises(ValueError, match="sessions/chip"):
+        mk(65536 * n_dev, mesh)
 
 
 def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
