@@ -392,14 +392,16 @@ def phase_sweep() -> dict:
     sweep_epochs = 1
     hypers = sample_hyperparams(n_cfg, seed=7)
     ab = {}
-    # f32_rbg: same program shape, dropout/shuffle streams from the TPU
-    # hardware RNG instead of threefry counters (the impl rides on the
-    # typed key through every split/fold_in) — the sweep's dropout-RNG
-    # component replay measured 0.5 s of 4.7 s, the A/B bounds the win
+    # Default streams come from the TPU hardware RNG on TPU
+    # (utils/platform.default_prng_impl — the impl rides on the typed key
+    # through every split/fold_in; the sweep's dropout-RNG component
+    # replay measured 0.5 s of the 4.7 s steady state). The f32_threefry
+    # leg keeps the software-counter A/B on record.
+    default_impl = "rbg" if on_tpu else None
     for label, kw, impl in (
-        ("f32", {}, None),
-        ("bf16", dict(compute_dtype="bfloat16"), None),
-        ("f32_rbg", {}, "rbg"),
+        ("f32", {}, default_impl),
+        ("bf16", dict(compute_dtype="bfloat16"), default_impl),
+        ("f32_threefry", {}, None),
     ):
         if label != "f32" and not on_tpu:
             continue
@@ -419,9 +421,21 @@ def phase_sweep() -> dict:
             ab[label] = sweep_windows / (time.perf_counter() - t0)
         except Exception as e:  # an A/B leg must never sink the headline
             if label == "f32":
-                raise
-            print(f"sweep[{label}] failed: {e}", file=sys.stderr)
-            continue
+                if impl is None:
+                    raise
+                # hardware-RNG headline failed: fall back to threefry so
+                # the sweep still reports, and record which impl ran
+                print(f"sweep[f32/{impl}] failed: {e}; retrying threefry",
+                      file=sys.stderr)
+                root = jax.random.PRNGKey(0)
+                run()
+                t0 = time.perf_counter()
+                run()
+                ab["f32"] = sweep_windows / (time.perf_counter() - t0)
+                default_impl = None  # headline ran threefry after all
+            else:
+                print(f"sweep[{label}] failed: {e}", file=sys.stderr)
+                continue
         print(f"sweep[{label}]: {n_cfg} cfgs × {sweep_epochs} ep → "
               f"{ab[label]:,.0f} windows/s", file=sys.stderr)
     return {
@@ -477,52 +491,76 @@ def phase_train() -> dict:
     v = tr_pallas.view_train
     # drop-last batching: an epoch trains (D // bs) * bs items
     wpe = (v.D // tr_pallas.batch_size) * tr_pallas.batch_size * v.n_tasks
-    # third leg: same default (pallas-loss) trainer, epoch keys from the
-    # TPU hardware RNG (--prng_impl rbg) instead of threefry counters —
-    # the sweep's rbg A/B won +25 % (sweep_ab.f32_rbg); this bounds the
-    # single-run win. Default stays threefry (stream reproducibility).
-    legs = [("pallas", tr_pallas, None), ("xla", tr_xla, None)]
+    # Default epoch-key streams: the TPU hardware RNG on TPU
+    # (utils/platform.default_prng_impl — threefry keygen inside the nine
+    # per-step dropout masks was the single largest removable step cost;
+    # rbg won its A/B +37 % on v5e). The threefry leg keeps the
+    # software-counter A/B on record; model init stays threefry either way
+    # (timed_run's init_state uses `key`).
+    on_tpu = jax.default_backend() == "tpu"
+    default_root = None  # None → timed_run uses the threefry PRNGKey(0)
+    if on_tpu:
+        try:
+            default_root = jax.random.key(0, impl="rbg")
+        except Exception as e:  # never sink the headline on an impl gap
+            print(f"train rbg default unavailable: {e}", file=sys.stderr)
+    legs = [("pallas", tr_pallas, default_root),
+            ("xla", tr_xla, default_root)]
+    if default_root is not None:
+        legs.append(("threefry", tr_pallas, jax.random.PRNGKey(0)))
+    def measure(legs):
+        t_best = {(name, n): np.inf for name, _, _ in legs
+                  for n in (e_lo, e_hi)}
+        for trial in range(3):
+            for name, tr, root in list(legs):
+                for n in (e_lo, e_hi):
+                    try:
+                        t = timed_run(tr, n, seed=131 * trial,
+                                      warm=(trial == 0), root=root)
+                    except Exception as e:
+                        if name in ("pallas", "xla"):
+                            raise  # headline legs must surface failures
+                        print(f"train {name} leg failed: {e}",
+                              file=sys.stderr)
+                        legs.remove((name, tr, root))
+                        break
+                    t_best[(name, n)] = min(t_best[(name, n)], t)
+        return {
+            name: (e_hi - e_lo) * wpe
+            / (t_best[(name, e_hi)] - t_best[(name, e_lo)])
+            for name, _, _ in legs
+        }
+
+    headline_impl = "rbg" if default_root is not None else "threefry"
     try:
-        legs.append(("rbg", tr_pallas, jax.random.key(0, impl="rbg")))
-    except Exception as e:  # an A/B leg must never sink the headline
-        print(f"train rbg leg unavailable: {e}", file=sys.stderr)
-    t_best = {(name, n): np.inf for name, _, _ in legs
-              for n in (e_lo, e_hi)}
-    for trial in range(3):
-        for name, tr, root in list(legs):
-            for n in (e_lo, e_hi):
-                try:
-                    t = timed_run(tr, n, seed=131 * trial,
-                                  warm=(trial == 0), root=root)
-                except Exception as e:
-                    if name in ("pallas", "xla"):
-                        raise  # headline legs must surface failures
-                    print(f"train {name} leg failed: {e}", file=sys.stderr)
-                    legs.remove((name, tr, root))
-                    break
-                t_best[(name, n)] = min(t_best[(name, n)], t)
-    best = {
-        name: (e_hi - e_lo) * wpe
-        / (t_best[(name, e_hi)] - t_best[(name, e_lo)])
-        for name, _, _ in legs
-    }
+        best = measure(legs)
+    except Exception as e:
+        if default_root is None:
+            raise
+        # hardware-RNG default failed at execute time: downgrade the whole
+        # measurement to threefry so the headline still reports
+        print(f"train rbg legs failed: {e}; downgrading to threefry",
+              file=sys.stderr)
+        headline_impl = "threefry"
+        best = measure([("pallas", tr_pallas, None), ("xla", tr_xla, None)])
     train_wps = best["pallas"]
     print(
         f"train: {train_wps:,.0f} windows/s (marginal single-dispatch epoch "
-        f"scan, timed to readback); loss A/B pallas {best['pallas']:,.0f} "
-        f"vs xla {best['xla']:,.0f}"
-        + (f"; prng A/B threefry {best['pallas']:,.0f} vs rbg "
-           f"{best['rbg']:,.0f}" if "rbg" in best else ""),
+        f"scan, timed to readback; {headline_impl} epoch keys); loss A/B "
+        f"pallas {best['pallas']:,.0f} vs xla {best['xla']:,.0f}"
+        + (f"; prng A/B rbg {best['pallas']:,.0f} vs threefry "
+           f"{best['threefry']:,.0f}" if "threefry" in best else ""),
         file=sys.stderr,
     )
     out = {
         "train_windows_per_sec": round(train_wps, 1),
+        "train_prng_impl": headline_impl,
         "device_kind": dev.device_kind,
         "train_loss_ab": {k: round(best[k], 1) for k in ("pallas", "xla")},
     }
-    if "rbg" in best:
-        out["train_prng_ab"] = {"threefry": round(best["pallas"], 1),
-                                "rbg": round(best["rbg"], 1)}
+    if "threefry" in best:
+        out["train_prng_ab"] = {"threefry": round(best["threefry"], 1),
+                                "rbg": round(best["pallas"], 1)}
     return out
 
 
@@ -541,6 +579,14 @@ def phase_train_peak() -> dict:
                            compute_dtype="bfloat16")
     v = tr.view_train
     wpe = (v.D // tr.batch_size) * tr.batch_size * v.n_tasks
+    # default epoch-key streams (hardware RNG on TPU, like phase_train)
+    impl = "threefry"
+    root = key
+    if jax.default_backend() == "tpu":
+        try:
+            root, impl = jax.random.key(0, impl="rbg"), "rbg"
+        except Exception as e:
+            print(f"train_peak rbg unavailable: {e}", file=sys.stderr)
 
     def run(n_epochs: int) -> float:
         st = tr.init_state(key)
@@ -549,7 +595,7 @@ def phase_train_peak() -> dict:
         for i in range(3):  # first rep = compile/warm
             t0 = time.perf_counter()
             st, losses, _ = tr.train_epochs(
-                st, jax.random.split(jax.random.fold_in(key, i), n_epochs),
+                st, jax.random.split(jax.random.fold_in(root, i), n_epochs),
                 hyper, ones, ones,
             )
             np.asarray(losses)
@@ -559,12 +605,20 @@ def phase_train_peak() -> dict:
         return best
 
     e_lo, e_hi = 5, 20
-    t_lo, t_hi = run(e_lo), run(e_hi)
+    try:
+        t_lo, t_hi = run(e_lo), run(e_hi)
+    except Exception as e:
+        if impl != "rbg":
+            raise
+        print(f"train_peak rbg failed: {e}; downgrading to threefry",
+              file=sys.stderr)
+        root, impl = key, "threefry"
+        t_lo, t_hi = run(e_lo), run(e_hi)
     peak_wps = (e_hi - e_lo) * wpe / (t_hi - t_lo)
-    print(f"train[peak bs=128 bf16]: {peak_wps:,.0f} windows/s",
+    print(f"train[peak bs=128 bf16 {impl}]: {peak_wps:,.0f} windows/s",
           file=sys.stderr)
     return {"train_peak_windows_per_sec": round(peak_wps, 1),
-            "train_peak_geometry": "batch_size=128, bf16"}
+            "train_peak_geometry": f"batch_size=128, bf16, {impl}"}
 
 
 # ====================================================================== eval

@@ -73,15 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's stated intent, models.py:245, "
                         "which its mixed-subject batches never deliver) "
                         "and report/export per-subject accuracy")
-    p.add_argument("--prng_impl", type=str, default="threefry2x32",
-                   choices=("threefry2x32", "rbg", "unsafe_rbg"),
+    p.add_argument("--prng_impl", type=str, default="auto",
+                   choices=("auto", "threefry2x32", "rbg", "unsafe_rbg"),
                    help="PRNG for all random streams (dropout, shuffles, "
-                        "init). rbg/unsafe_rbg use the TPU hardware RNG — "
-                        "cheaper than threefry counters inside large "
-                        "programs; streams differ from the default (the "
-                        "reference's torch streams differ anyway). JAX "
-                        "typed keys carry the impl through every split/"
-                        "fold_in unchanged")
+                        "init). auto = the TPU hardware RNG (rbg) on TPU "
+                        "(+37%% train throughput, the reference's torch "
+                        "path uses cuRAND hardware RNG too), threefry "
+                        "elsewhere. threefry2x32 gives streams stable "
+                        "across backends/versions (and byte-identical to "
+                        "pre-flip runs). JAX typed keys carry the impl "
+                        "through every split/fold_in unchanged")
     p.add_argument("--crossval_id", type=str, default="",
                    help="suffix for cross_val_{keys,values}<id>.npy "
                         "(reference train.py:140,159-165 id_ parameter; "
@@ -143,10 +144,14 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print("Dataset loaded")
-    # default path keeps the legacy raw uint32 key (byte-identical streams
-    # to every prior run); non-default impls need the typed-key carrier
-    key = (jax.random.key(args.seed, impl=args.prng_impl)
-           if args.prng_impl != "threefry2x32"
+    # threefry keeps the legacy raw uint32 key (byte-identical streams to
+    # every prior run); hardware-RNG impls need the typed-key carrier
+    from contrastiveprosthetics_tpu.utils.platform import default_prng_impl
+
+    prng_impl = (default_prng_impl() if args.prng_impl == "auto"
+                 else args.prng_impl)
+    key = (jax.random.key(args.seed, impl=prng_impl)
+           if prng_impl != "threefry2x32"
            else jax.random.PRNGKey(args.seed))
 
     # ---- cross-validation (train.py:140-198) ----

@@ -42,6 +42,28 @@ def select_platform(choice: str | None = None) -> str:
     return resolved
 
 
+def default_prng_impl() -> str:
+    """Resolve ``--prng_impl auto``: the hardware RNG on TPU, threefry
+    elsewhere.
+
+    The reference's torch path draws its dropout masks from the device's
+    native hardware RNG (cuRAND Philox; reference ``models.py:75-101``
+    never pays a software counter-based RNG), so hardware RNG *is* the
+    reference-faithful default on TPU.  Measured on v5e (bench
+    ``train_prng_ab`` / ``sweep_ab``): threefry keygen inside the nine
+    per-step dropout masks was the single largest removable train-step
+    cost — rbg trains +37 % faster single-run and +25 % in the sweep.
+
+    ``rbg`` streams are deterministic for a fixed key on a fixed
+    backend + XLA version; pass ``--prng_impl threefry2x32`` for streams
+    that are additionally stable across backends and versions (and
+    byte-identical to this repo's pre-flip runs).
+    """
+    import jax
+
+    return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+
+
 def add_platform_flag(parser) -> None:
     """Attach the shared ``--platform`` flag to a CLI parser."""
     parser.add_argument(

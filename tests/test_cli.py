@@ -184,12 +184,32 @@ def test_train_cli_exposes_fused_encoder_flag():
 def test_train_cli_exposes_prng_impl_flag():
     from contrastiveprosthetics_tpu.cli.train import build_parser
 
-    assert build_parser().parse_args([]).prng_impl == "threefry2x32"
+    assert build_parser().parse_args([]).prng_impl == "auto"
     assert build_parser().parse_args(
         ["--prng_impl", "rbg"]
     ).prng_impl == "rbg"
+    assert build_parser().parse_args(
+        ["--prng_impl", "threefry2x32"]
+    ).prng_impl == "threefry2x32"
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--prng_impl", "nonsense"])
+
+
+def test_default_prng_impl_resolves_per_backend():
+    """auto → the hardware RNG only on TPU; threefry on this CPU backend
+    (streams byte-identical to the pre-flip default — the rationale and
+    the v5e A/B numbers live in the resolver's docstring)."""
+    from contrastiveprosthetics_tpu.utils.platform import default_prng_impl
+
+    import jax
+
+    impl = default_prng_impl()
+    expected = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    assert impl == expected
+    # the resolved impl must construct a working typed/raw key
+    key = (jax.random.key(0, impl=impl) if impl != "threefry2x32"
+           else jax.random.PRNGKey(0))
+    jax.random.uniform(jax.random.fold_in(key, 1), (2,))
 
 
 @pytest.mark.slow

@@ -80,10 +80,10 @@ def test_crossval_runs_and_saves(trainer, tmp_path):
 
 @pytest.mark.slow
 def test_crossval_rbg_key(trainer):
-    """The production sweep accepts a typed rbg key (--prng_impl rbg /
-    bench's f32_rbg leg): the impl rides on the key through every
-    fold_in/split in-graph — same shapes, hardware-RNG streams, finite
-    results."""
+    """The production sweep accepts a typed rbg key (the TPU default via
+    --prng_impl auto; bench sweep headline): the impl rides on the key
+    through every fold_in/split in-graph — same shapes, hardware-RNG
+    streams, finite results."""
     h = sample_hyperparams(4, seed=2)
     values = cross_validate(
         trainer, h, epochs=1, key=jax.random.key(0, impl="rbg"),
