@@ -143,13 +143,15 @@ class Trainer:
             if self.scan_unroll is None:
                 self.scan_unroll = 2 if tpu else 1
         if self.use_fused_encoder is None:
-            # stays OFF by default: the recorded v5e A/B (2026-08-18,
-            # bench phase_eval) was neutral at eval geometry — xla
-            # 10.38 M vs fused 10.60 M windows/s canonical (+2.1 %),
-            # 10.58 M vs 10.50 M at the peak geometry (−0.8 %) — eval
-            # batches are large enough that XLA amortizes the per-layer
-            # HBM traffic the kernel removes. The kernel's wins are the
-            # serve tick chains (13.1×/9.6×), where it IS the default.
+            # stays OFF by default: four recorded v5e A/Bs (2026-08-18,
+            # bench phase_eval) are neutral at the canonical eval
+            # geometry — fused −2.4 % to +3.5 % vs xla (10.4-12.2 M
+            # windows/s) — eval batches are large enough that XLA
+            # amortizes the per-layer HBM traffic the kernel removes.
+            # (The bs=D peak leg once read fused +20-35 %, but it did
+            # not reproduce — that leg is one short unpadded batch and
+            # jitter-dominated.) The kernel's wins are the serve tick
+            # chains (13.1×/9.6×), where it IS the default.
             self.use_fused_encoder = False
         # the fused encoder requires inference-affine normalization and the
         # shared one-hot class embedding (see ops/pallas_ops.py §2)
