@@ -86,7 +86,15 @@ def cross_validate(
     device training its own slice of configs with zero inter-chip traffic:
     the natural multi-chip scale-out for this workload (SURVEY §5). Chunks
     are padded up to a multiple of the ``dp`` size (pad rows repeat the
-    first config; their results are discarded)."""
+    first config; their results are discarded).
+
+    RNG impls under ``mesh``: typed rbg keys (the TPU ``--prng_impl auto``
+    default) are validated through this shard_map path on TPU hardware
+    (compile+run 75 s, finite results, 2026-08-18). On the XLA:CPU virtual
+    8-device mesh the same rbg program did not finish compiling within
+    40 min (a CPU-only pathology, same family as the partitioner notes in
+    CLAUDE.md) — CPU tests therefore pin the sharded path with threefry
+    keys, which ``auto`` also resolves to on CPU."""
     # Loss-impl note: the fused Pallas loss is A/B-neutral at sweep
     # geometry (phase-isolated v5e bench sweep_ab: 1.3728M pallas vs
     # 1.3728M xla windows/s — the sweep is HBM/optimizer-bound, the loss
