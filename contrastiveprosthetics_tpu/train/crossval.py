@@ -105,19 +105,27 @@ def cross_validate(
     n = len(np.asarray(hypers.lr_emg))
     n_dp = 1 if mesh is None else mesh.shape["dp"]
     if chunk is None:
-        # Chunk-size scan on v5e (f32, bs 8, aggregate over 150 configs):
-        #   chunk   5: 2.43M windows/s   (152 ms/chunk)
-        #   chunk  10: 2.05M
-        #   chunk  25: 1.70M
-        #   chunk  50: 1.48M
-        #   chunk 150: 1.37M
-        # Small chunks stay in the latency-bound per-step regime (135 µs
-        # per config-step at chunk 5 vs 169 µs running configs one at a
-        # time) while wide vmaps saturate HBM on optimizer/weight traffic
-        # (the reference's bs=8 Adam-step-per-batch semantics). Default: 5
+        # Chunk-size scans on v5e (bs 8, aggregate over 150 configs). The
+        # round-2 scan started at width 5 (f32 threefry: 5 → 2.43M
+        # windows/s, 10 → 2.05M, 25 → 1.70M, 50 → 1.48M, 150 → 1.37M) and
+        # never looked below it; scanning the narrow end (rbg default,
+        # three measurements in two fresh processes, width-5 control
+        # reproducing its fresh value exactly) found the true optimum:
+        #   chunk   1: 3.31M windows/s   (150 dispatches pay latency)
+        #   chunk   2: 3.96-4.01M        <- optimum, beats single-run 3.54M
+        #   chunk   3: 3.55M
+        #   chunk   4: 3.24M
+        #   chunk   5: 2.93M
+        #   chunk  10: 2.02M ... chunk 50: 1.51M
+        # Width 2 wins for BOTH RNG impls (isolated bench sweep_ab:
+        # threefry 3.62M at width 2 vs 2.33M at width 5; rbg 3.97M vs
+        # 2.93M): narrow chunks stay in the latency-bound per-step regime
+        # while wide vmaps saturate HBM on optimizer/weight traffic (the
+        # reference's bs=8 Adam-step-per-batch semantics); width 2
+        # balances that against per-chunk dispatch overhead. Default: 2
         # configs per device — each device's shard_map slice runs the
         # measured-optimal width.
-        chunk = min(n, 5 * n_dp)
+        chunk = min(n, 2 * n_dp)
     emg_f, glove_f = schedule_factors(
         epochs, annealing=False,
         compat_shared_steplr=trainer.cfg.compat_shared_steplr,
