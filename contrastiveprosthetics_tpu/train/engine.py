@@ -141,6 +141,9 @@ class Trainer:
             if self.use_pallas_loss is None:
                 self.use_pallas_loss = tpu
             if self.scan_unroll is None:
+                # re-scanned under the hardware-RNG default (v5e, rbg
+                # epoch keys, marginal slopes): unroll 1 → 2.75M
+                # windows/s, 2 → 3.38-3.50M, 4 → 3.36M — 2 stays optimal
                 self.scan_unroll = 2 if tpu else 1
         if self.use_fused_encoder is None:
             # stays OFF by default: four recorded v5e A/Bs (2026-08-18,
