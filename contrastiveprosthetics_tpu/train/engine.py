@@ -146,15 +146,16 @@ class Trainer:
                 # windows/s, 2 → 3.38-3.50M, 4 → 3.36M — 2 stays optimal
                 self.scan_unroll = 2 if tpu else 1
         if self.use_fused_encoder is None:
-            # stays OFF by default: four recorded v5e A/Bs (2026-08-18,
-            # bench phase_eval) are neutral at the canonical eval
-            # geometry — fused −2.4 % to +3.5 % vs xla (10.4-12.2 M
-            # windows/s) — eval batches are large enough that XLA
-            # amortizes the per-layer HBM traffic the kernel removes.
-            # (The bs=D peak leg once read fused +20-35 %, but it did
-            # not reproduce — that leg is one short unpadded batch and
-            # jitter-dominated.) The kernel's wins are the serve tick
-            # chains (13.1×/9.6×), where it IS the default.
+            # stays OFF by default: five recorded v5e A/Bs (2026-08-18,
+            # bench phase_eval) are mixed at the canonical eval geometry
+            # — fused −2.4 % to +12 % vs xla (10.4-13.3 M windows/s),
+            # mean ≈ +2 %, within the run-to-run spread — eval batches
+            # are large enough that XLA amortizes the per-layer HBM
+            # traffic the kernel removes. (The bs=D peak leg once read
+            # fused +20-35 %, but it did not reproduce — that leg is one
+            # short unpadded batch and jitter-dominated.) No consistent
+            # win → no default flip; the kernel's wins are the serve
+            # tick chains (13.1×/9.6×), where it IS the default.
             self.use_fused_encoder = False
         # the fused encoder requires inference-affine normalization and the
         # shared one-hot class embedding (see ops/pallas_ops.py §2)
