@@ -398,6 +398,7 @@ def phase_sweep() -> dict:
     # replay measured 0.5 s of the 4.7 s steady state). The f32_threefry
     # leg keeps the software-counter A/B on record.
     default_impl = "rbg" if on_tpu else None
+    headline_impl = default_impl or "threefry"
     for label, kw, impl in (
         ("f32", {}, default_impl),
         ("bf16", dict(compute_dtype="bfloat16"), default_impl),
@@ -432,7 +433,7 @@ def phase_sweep() -> dict:
                 t0 = time.perf_counter()
                 run()
                 ab["f32"] = sweep_windows / (time.perf_counter() - t0)
-                default_impl = None  # headline ran threefry after all
+                headline_impl = "threefry"  # recorded in the JSON below
             else:
                 print(f"sweep[{label}] failed: {e}", file=sys.stderr)
                 continue
@@ -440,6 +441,7 @@ def phase_sweep() -> dict:
               f"{ab[label]:,.0f} windows/s", file=sys.stderr)
     return {
         "crossval_sweep_windows_per_sec": round(ab["f32"], 1),
+        "sweep_prng_impl": headline_impl,
         "sweep_configs": n_cfg,
         "sweep_ab": {k: round(x, 1) for k, x in ab.items()},
     }
