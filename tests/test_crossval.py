@@ -93,13 +93,27 @@ def test_crossval_rbg_key(trainer):
     assert np.isfinite(values).all()
 
 
+def test_crossval_default_chunk_is_two_per_dp_shard():
+    """The tuned sweep chunk default is 2 configs per dp shard (the
+    measured v5e optimum for both RNG impls — crossval.py chunk table);
+    pin it so a refactor can't silently regress the sweep headline."""
+    import inspect
+
+    from contrastiveprosthetics_tpu.train import crossval
+
+    src = inspect.getsource(crossval.cross_validate)
+    assert "chunk = min(n, 2 * n_dp)" in src
+
+
 @pytest.mark.slow
 def test_crossval_chunking_consistent(trainer):
     """Chunked and unchunked sweeps must produce identical values (same
-    per-config keys)."""
+    per-config keys). chunk=4 is explicit: the DEFAULT is now width 2,
+    so relying on it would compare chunk=2 against itself."""
     h = sample_hyperparams(4, seed=3)
     v_all = cross_validate(
-        trainer, h, epochs=1, key=jax.random.PRNGKey(1), verbose=False
+        trainer, h, epochs=1, key=jax.random.PRNGKey(1), chunk=4,
+        verbose=False,
     )
     v_chunks = cross_validate(
         trainer, h, epochs=1, key=jax.random.PRNGKey(1), chunk=2, verbose=False
