@@ -232,6 +232,10 @@ def phase_serve() -> dict:
     out["serve_tick_device_us"] = (
         round(tick_head, 1) if tick_head is not None else None
     )
+    # record WHICH leg the headline is (the meaning changed from the XLA
+    # leg to the fused production default in round 2 — a ~115× step that
+    # cross-round BENCH consumers must be able to see in-band)
+    out["serve_tick_leg"] = "fused" if tick_us_fused is not None else "xla"
     if tick_head is None:
         out["serve_tick_error"] = "non-positive marginal slope (jitter)"
     else:
@@ -298,6 +302,7 @@ def phase_serve() -> dict:
                 if ("multi_fused", k_hi) in tb else None)
     us_head = us_fused if us_fused is not None else us  # production default
     out["serve_sessions"] = S
+    out["serve_multi_tick_leg"] = "fused" if us_fused is not None else "xla"
     if us_head is None:
         out["serve_multi_tick_device_ms"] = None
         out["serve_multi_tick_error"] = "non-positive marginal slope"

@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --sessions S --replay the whole multi-session "
                         "chain runs as the batched §4 kernel (shared "
                         "weights + per-session BN affines)")
+    p.add_argument("--no_fused_encoder", action="store_true",
+                   help="force the vmapped XLA encoder path OFF-switch: "
+                        "overrides the TPU auto-default (fused ON within "
+                        "the VMEM budget) — the escape hatch for a "
+                        "deployment geometry that hits a Mosaic/VMEM issue "
+                        "the auto gate's estimate misses")
     p.add_argument("--quiet", action="store_true")
     add_platform_flag(p)
     return p
@@ -196,12 +202,21 @@ def main(argv=None):
             f"{cfg.factor}-sample tick"
         )
 
+    if args.fused_encoder and args.no_fused_encoder:
+        raise SystemExit(
+            "--fused_encoder and --no_fused_encoder are mutually exclusive"
+        )
+
     if S == 1:
-        # flag forces ON; absent → None = auto (fused on TPU, per the
-        # recorded v5e A/B — see StreamingEngine docstring)
+        # tri-state: --fused_encoder forces ON, --no_fused_encoder forces
+        # OFF, absent → None = auto (fused on TPU, per the recorded v5e
+        # A/B — see StreamingEngine docstring)
         engine = StreamingEngine(
             cfg, model, variables, emg_mean, emg_std,
-            use_fused_encoder=True if args.fused_encoder else None,
+            use_fused_encoder=(
+                True if args.fused_encoder
+                else False if args.no_fused_encoder else None
+            ),
         )
         if calib is not None:
             if calib.ndim == 3:  # (sessions, samples, ch) file
@@ -256,10 +271,12 @@ def main(argv=None):
         engine = BatchedStreamingEngine(
             cfg, model, variables, emg_mean, emg_std, n_sessions=S,
             mesh=mesh,
-            # flag forces ON (replay only); absent → None = auto (fused on
+            # tri-state (replay only): --fused_encoder forces ON,
+            # --no_fused_encoder forces OFF, absent → None = auto (fused on
             # single-chip TPU within the VMEM budget, per the recorded A/B)
             use_fused_encoder=True if fused_b else (
-                None if args.replay else False
+                False if (args.no_fused_encoder or not args.replay)
+                else None
             ),
         )
         if calib is not None:

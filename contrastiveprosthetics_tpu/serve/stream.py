@@ -532,7 +532,23 @@ class BatchedStreamingEngine:
                    + affine_bytes + 4 * resident_words)
             budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
             if est > budget and auto:
-                self._use_fused = False  # silent geometry fallback
+                # auto geometry fallback — warn, don't hide it: the XLA
+                # chain is 10-50× slower per tick and the operator has no
+                # other signal that the fused path is not running
+                import sys
+
+                print(
+                    "BatchedStreamingEngine: fused tick chain auto-disabled"
+                    f" — ~{est / 2**20:.1f} MB VMEM-resident state for "
+                    f"{n_local} sessions"
+                    + ("/chip" if mesh is not None else "")
+                    + f" exceeds the ~{budget / 2**20:.0f} MB budget; "
+                    "falling back to the vmapped XLA tick chain (slower "
+                    "per tick). Shard over more chips, reduce sessions, "
+                    "or use a bfloat16 model dtype to re-enable.",
+                    file=sys.stderr,
+                )
+                self._use_fused = False
                 self._shared = ()
             elif est > budget:
                 raise ValueError(

@@ -29,6 +29,11 @@ import numpy as np
 from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
 from contrastiveprosthetics_tpu.train.schedules import schedule_factors
 
+# Tuned sweep-chunk width: configs vmapped per dp shard in one dispatch.
+# Measured v5e optimum for BOTH RNG impls (chunk-width scan table in
+# cross_validate below); tests pin this constant, not the source text.
+DEFAULT_SWEEP_CHUNK_PER_DP = 2
+
 
 def sample_hyperparams(n: int, seed: int = 42) -> Hyper:
     """The reference's sampling distributions (train.py:175-192):
@@ -65,6 +70,13 @@ def hyper_from_key(key_row: np.ndarray) -> tuple[int, Hyper]:
     """Inverse of ``keys_array`` for one row (train.py:201-211)."""
     d_e, lr_e, reg_e, dp_e, lr_g, reg_g, dp_g = [float(x) for x in key_row]
     return int(d_e), Hyper.single(lr_e, reg_e, dp_e, lr_g, reg_g, dp_g)
+
+
+def resolve_chunk(n: int, n_dp: int) -> int:
+    """Default sweep-chunk width: ``DEFAULT_SWEEP_CHUNK_PER_DP`` configs
+    per dp shard, capped at the number of configs (chunk-width scan table
+    in ``cross_validate``)."""
+    return min(n, DEFAULT_SWEEP_CHUNK_PER_DP * n_dp)
 
 
 def cross_validate(
@@ -105,6 +117,7 @@ def cross_validate(
     n = len(np.asarray(hypers.lr_emg))
     n_dp = 1 if mesh is None else mesh.shape["dp"]
     if chunk is None:
+        chunk = resolve_chunk(n, n_dp)
         # Chunk-size scans on v5e (bs 8, aggregate over 150 configs). The
         # round-2 scan started at width 5 (f32 threefry: 5 → 2.43M
         # windows/s, 10 → 2.05M, 25 → 1.70M, 50 → 1.48M, 150 → 1.37M) and
@@ -125,7 +138,6 @@ def cross_validate(
         # balances that against per-chunk dispatch overhead. Default: 2
         # configs per device — each device's shard_map slice runs the
         # measured-optimal width.
-        chunk = min(n, 2 * n_dp)
     emg_f, glove_f = schedule_factors(
         epochs, annealing=False,
         compat_shared_steplr=trainer.cfg.compat_shared_steplr,

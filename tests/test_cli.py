@@ -174,6 +174,25 @@ def test_serve_cli_exposes_fused_encoder_flag():
     assert build_parser().parse_args(["--demo"]).fused_encoder is False
 
 
+def test_serve_cli_no_fused_encoder_is_the_escape_hatch(tmp_path):
+    """The tri-state: absent → auto, --fused_encoder → forced ON,
+    --no_fused_encoder → forced OFF (the operator escape hatch when a
+    deployment geometry hits a Mosaic/VMEM issue the auto gate's estimate
+    misses); combining both is an error."""
+    from contrastiveprosthetics_tpu.cli.serve import build_parser, main
+
+    assert build_parser().parse_args(
+        ["--demo", "--no_fused_encoder"]
+    ).no_fused_encoder is True
+    assert build_parser().parse_args(["--demo"]).no_fused_encoder is False
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["--demo", "--fused_encoder", "--no_fused_encoder",
+              "--out", str(tmp_path / "o.npz")])
+    # forced-OFF demo runs end to end on the XLA path
+    main(["--demo", "--no_fused_encoder", "--quiet",
+          "--out", str(tmp_path / "off.npz")])
+
+
 def test_train_cli_exposes_fused_encoder_flag():
     from contrastiveprosthetics_tpu.cli.train import build_parser
 

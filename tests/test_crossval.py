@@ -96,13 +96,15 @@ def test_crossval_rbg_key(trainer):
 def test_crossval_default_chunk_is_two_per_dp_shard():
     """The tuned sweep chunk default is 2 configs per dp shard (the
     measured v5e optimum for both RNG impls — crossval.py chunk table);
-    pin it so a refactor can't silently regress the sweep headline."""
-    import inspect
-
+    pin the exposed constant AND the resolver that cross_validate calls,
+    so a semantically equivalent refactor passes but a tuning regression
+    doesn't."""
     from contrastiveprosthetics_tpu.train import crossval
 
-    src = inspect.getsource(crossval.cross_validate)
-    assert "chunk = min(n, 2 * n_dp)" in src
+    assert crossval.DEFAULT_SWEEP_CHUNK_PER_DP == 2
+    assert crossval.resolve_chunk(150, 1) == 2    # go.sh sweep, one chip
+    assert crossval.resolve_chunk(150, 8) == 16   # 2 per dp shard
+    assert crossval.resolve_chunk(1, 8) == 1      # capped at n configs
 
 
 @pytest.mark.slow

@@ -546,11 +546,12 @@ def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
     assert set(np.asarray(p_f).tolist()) <= {0, 7, 23, 30}
 
 
-def test_fused_default_auto_resolution(monkeypatch):
+def test_fused_default_auto_resolution(monkeypatch, capsys):
     """None = auto: fused on TPU (recorded v5e A/B: ~1.5 vs ~172 µs/tick
     single-session, 0.004-0.020 vs ~0.2 ms/tick at 64 sessions), XLA on CPU;
-    over-VMEM-budget geometries silently fall back in auto mode but still
-    raise when the caller forced fused ON."""
+    over-VMEM-budget geometries fall back in auto mode WITH a stderr
+    warning (a 10-50× perf cliff must be visible to the operator) but
+    still raise when the caller forced fused ON."""
     from contrastiveprosthetics_tpu.ops import pallas_ops
     from contrastiveprosthetics_tpu.serve.stream import (
         BatchedStreamingEngine,
@@ -587,8 +588,13 @@ def test_fused_default_auto_resolution(monkeypatch):
     assert eng_b._use_fused is True
     assert eng_b._single._use_fused is False  # inner tick stays XLA
 
-    # over-budget geometry: auto falls back, explicit still raises
+    # over-budget geometry: auto falls back (warning names the MB estimate
+    # and the per-shard session count), explicit still raises
     # (narrow net → need a huge S to blow the 14 MB estimate)
+    capsys.readouterr()  # drop anything earlier
     assert mkb(65536)._use_fused is False
+    err = capsys.readouterr().err
+    assert "auto-disabled" in err and "65536 sessions" in err
+    assert "MB" in err
     with pytest.raises(ValueError, match="VMEM"):
         mkb(65536, use_fused_encoder=True)
