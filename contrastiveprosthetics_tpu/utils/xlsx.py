@@ -1,13 +1,16 @@
-"""Minimal dependency-free .xlsx writer (single sheet of numbers).
+"""Minimal dependency-free .xlsx writer + reader (single sheet of numbers).
 
 The reference ships its headline curves as Excel files
 (``data/*_grasp.xlsx``, ``voting*.xlsx``); openpyxl/pandas-excel aren't
-available in this environment, so we emit the (tiny) OOXML zip directly.
-Readable by pandas/openpyxl/Excel.
+available in this environment, so we emit the (tiny) OOXML zip directly
+and read it (and the reference's shipped artifacts) back the same way.
+Writer output readable by pandas/openpyxl/Excel.
 """
 from __future__ import annotations
 
+import re
 import zipfile
+import xml.etree.ElementTree as ET
 
 import numpy as np
 
@@ -66,3 +69,47 @@ def write_xlsx(path: str, data: np.ndarray) -> None:
         z.writestr("xl/workbook.xml", _WORKBOOK)
         z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def read_xlsx(path: str) -> np.ndarray:
+    """Read sheet1 back as a dense 2-D float64 array (NaN for holes).
+
+    Inverse of :func:`write_xlsx`; also reads the reference's shipped
+    pandas-written artifacts (plain numeric ``<v>`` cells, no shared
+    strings — non-numeric cells become NaN). 1-column sheets come back as
+    shape ``(rows, 1)``; callers squeeze as needed.
+    """
+    with zipfile.ZipFile(path) as z:
+        sheet_name = next(
+            n for n in z.namelist() if n.endswith("worksheets/sheet1.xml")
+        )
+        root = ET.fromstring(z.read(sheet_name))
+    cells: list[tuple[int, int, float]] = []
+    for c in root.iter(f"{_NS}c"):
+        ref = c.get("r")
+        v = c.find(f"{_NS}v")
+        if ref is None or v is None or v.text is None:
+            continue
+        m = _CELL_REF.fullmatch(ref)
+        if not m:
+            continue
+        col = 0
+        for ch in m.group(1):
+            col = col * 26 + (ord(ch) - 64)
+        try:
+            val = float(v.text)
+        except ValueError:  # shared-string / formula cell
+            val = float("nan")
+        cells.append((int(m.group(2)) - 1, col - 1, val))
+    if not cells:
+        return np.empty((0, 0), dtype=np.float64)
+    n_r = max(r for r, _, _ in cells) + 1
+    n_c = max(c for _, c, _ in cells) + 1
+    out = np.full((n_r, n_c), np.nan, dtype=np.float64)
+    for r, c, val in cells:
+        out[r, c] = val
+    return out
