@@ -38,19 +38,30 @@ def identity_permutations(n_tasks: int, D: int) -> jax.Array:
     )
 
 
-def epoch_batches(key: jax.Array, D: int, batch_size: int) -> jax.Array:
-    """(n_batches, batch_size) item indices for one epoch.
+def epoch_batches(
+    key: jax.Array, D: int, batch_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """``(batches, tail)`` item indices for one epoch.
 
-    Equivalent to DataLoader(shuffle=True) over the D items
-    (``train.py:86``). ``batch_size`` is clamped to D; a trailing partial
-    batch is dropped to keep shapes static (with the canonical geometry —
-    D=1800/bs=8 train, D=24 val, D=48 test with bs·8 ≥ 48 clamped to 48 —
-    nothing is ever dropped).
+    Equivalent to DataLoader(shuffle=True, drop_last=False) over the D
+    items (``train.py:86``; torch's drop_last default is False, so the
+    reference TRAINS the trailing partial batch). ``batches`` is
+    (n_batches, bs) full batches; ``tail`` is the (D % bs,)-shaped
+    remainder — a genuinely smaller final batch, exactly the reference's
+    semantics (its BN statistics come from the small batch alone, not a
+    padded one). Both shapes are static: D and bs are Python ints, so the
+    remainder costs one extra in-graph body instantiation, not a dynamic
+    shape. ``batch_size`` is clamped to D. With the canonical geometry
+    (D=1800/bs=8) the tail is empty; at the CLI default bs=32 it carries
+    the 8 items that were silently dropped before round 3.
     """
     bs = min(batch_size, D)
     order = jax.random.permutation(key, D)
     n_batches = D // bs
-    return order[: n_batches * bs].reshape(n_batches, bs)
+    return (
+        order[: n_batches * bs].reshape(n_batches, bs),
+        order[n_batches * bs:],
+    )
 
 
 def epoch_batches_padded(key: jax.Array, D: int, batch_size: int):

@@ -317,7 +317,7 @@ class Trainer:
         k_perm, k_glove, k_order, k_drop = jax.random.split(key, 4)
         emg_rand = task_permutations(k_perm, v.n_tasks, v.D)
         glove_rand = task_permutations(k_glove, v.n_tasks, v.D_glove)
-        batches = epoch_batches(k_order, v.D, self.batch_size)
+        batches, tail = epoch_batches(k_order, v.D, self.batch_size)
         lr_e = hyper.lr_emg * lr_emg_factor
         lr_g = hyper.lr_glove * lr_glove_factor
 
@@ -337,11 +337,24 @@ class Trainer:
             # XLA:CPU executes large GEMM/conv bodies INSIDE while-loops via
             # a pathologically slow path (measured 28 s vs 1.5 s for the
             # same body at bs=300); TPU is unaffected either way
-            (state, _), (loss, acc) = body((state, 0), batches[0])
-            return state, loss, acc
-        (state, _), (losses, accs) = jax.lax.scan(
-            body, (state, 0), batches, unroll=self.scan_unroll
-        )
+            (carry, _), (loss, acc) = body((state, 0), batches[0])
+            losses, accs = loss[None], acc[None]
+            state = carry
+        else:
+            (state, _), (losses, accs) = jax.lax.scan(
+                body, (state, 0), batches, unroll=self.scan_unroll
+            )
+        if tail.shape[0]:
+            # the trailing partial batch trains too (DataLoader
+            # drop_last=False, train.py:86): a genuinely smaller batch —
+            # its BN statistics come from its own items, exactly the
+            # reference's semantics — instantiated straight-line in the
+            # same program (one extra static body at bs = D % batch_size)
+            (state, _), (loss_t, acc_t) = body((state, batches.shape[0]), tail)
+            losses = jnp.concatenate([losses, loss_t[None]])
+            accs = jnp.concatenate([accs, acc_t[None]])
+        if losses.shape[0] == 1:
+            return state, losses[0], accs[0]
         return state, losses.mean(), accs.mean()
 
     def train_epoch(self, state, key, hyper, lr_emg_factor=1.0, lr_glove_factor=1.0):

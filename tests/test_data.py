@@ -130,13 +130,26 @@ def test_task_permutations():
 
 def test_epoch_batches_exact_cover():
     key = jax.random.PRNGKey(1)
-    b = np.asarray(epoch_batches(key, 1800, 8))
-    assert b.shape == (225, 8)
+    b, tail = epoch_batches(key, 1800, 8)
+    b = np.asarray(b)
+    assert b.shape == (225, 8) and tail.shape == (0,)
     assert sorted(b.ravel().tolist()) == list(range(1800))
     # test-time geometry: bs clamps to D, one batch, nothing dropped
-    b2 = np.asarray(epoch_batches(key, 48, 64))
-    assert b2.shape == (1, 48)
-    assert sorted(b2.ravel().tolist()) == list(range(48))
+    b2, tail2 = epoch_batches(key, 48, 64)
+    assert np.asarray(b2).shape == (1, 48) and tail2.shape == (0,)
+    assert sorted(np.asarray(b2).ravel().tolist()) == list(range(48))
+
+
+def test_epoch_batches_trailing_partial_batch_is_trained():
+    """drop_last=False parity (train.py:86): at the CLI default bs=32 over
+    D=1800, the 8-item remainder is a real (smaller) final batch — every
+    item appears exactly once per epoch, none silently dropped."""
+    key = jax.random.PRNGKey(3)
+    b, tail = epoch_batches(key, 1800, 32)
+    b, tail = np.asarray(b), np.asarray(tail)
+    assert b.shape == (56, 32) and tail.shape == (8,)
+    covered = sorted(b.ravel().tolist() + tail.tolist())
+    assert covered == list(range(1800))
 
 
 def test_gather_batches_match_reference_semantics():

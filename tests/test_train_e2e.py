@@ -90,6 +90,22 @@ def test_checkpoint_roundtrip(store, hyper, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_trailing_partial_batch_steps_the_optimizer(store, hyper):
+    """drop_last=False parity at the engine level (train.py:86, torch
+    default): with a batch size that doesn't divide D, the trailing
+    partial batch must take its own (smaller-batch) Adam step instead of
+    being silently dropped — every item contributes each epoch."""
+    trainer = Trainer(
+        CFG, store, adabn=False, batch_size=32, n_linear=2, hidden=64
+    )
+    D = trainer.view_train.D
+    assert D % 32 != 0, "geometry must create a remainder for this test"
+    state = trainer.init_state(jax.random.PRNGKey(10))
+    state, loss, _ = trainer.train_epoch(state, jax.random.PRNGKey(11), hyper)
+    assert int(state.opt_emg.count) == D // 32 + 1
+    assert np.isfinite(float(loss))
+
+
 @pytest.mark.slow
 def test_train_epoch_is_deterministic(store, hyper):
     trainer = Trainer(CFG, store, adabn=False, batch_size=8)
