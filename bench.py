@@ -496,8 +496,9 @@ def phase_train() -> dict:
     tr_xla = Trainer(cfg, store, adabn=False, batch_size=8,
                      use_pallas_loss=False)
     v = tr_pallas.view_train
-    # drop-last batching: an epoch trains (D // bs) * bs items
-    wpe = (v.D // tr_pallas.batch_size) * tr_pallas.batch_size * v.n_tasks
+    # drop_last=False (round 3): an epoch trains ALL D items — the
+    # trailing partial batch is a real smaller batch (engine._train_epoch)
+    wpe = v.D * v.n_tasks
     # Default epoch-key streams: the TPU hardware RNG on TPU
     # (utils/platform.default_prng_impl — threefry keygen inside the nine
     # per-step dropout masks was the single largest removable step cost;
@@ -859,6 +860,40 @@ def main():
     if sweep_wps:
         out["sweep_tflops"] = round(sweep_wps * f_train / 1e12, 2)
         out["mfu_sweep"] = round(mfu(sweep_wps, f_train, kind)["mfu_bf16"], 4)
+
+    # ---- HBM memory roofline (utils/flops.py census; VERDICT r2 task 4):
+    # is the low train MFU near-ceiling for a memory-bound workload, or
+    # leaving performance on the table? roofline_frac_* is measured
+    # against the irreducible 6P-word floor (params/mu/nu each read+write
+    # once); *_census uses the expected 10P+activations traffic. One
+    # config-step = batch_size×n_tasks windows for both train and sweep.
+    from contrastiveprosthetics_tpu.utils.flops import (
+        hbm_roofline,
+        peak_hbm_bytes_per_sec,
+        train_hbm_bytes_per_step,
+    )
+
+    census = train_hbm_bytes_per_step(batch_size=8)
+    wps_per_step = 8 * 41
+    out["hbm_bytes_per_step_floor"] = census["floor_bytes"]
+    out["hbm_bytes_per_step_census"] = census["total"]
+    out["peak_hbm_bytes_per_sec"] = peak_hbm_bytes_per_sec(kind)
+    for label, wps in (("train", train_wps), ("sweep", sweep_wps)):
+        if not wps:
+            continue
+        steps = wps / wps_per_step
+        floor = hbm_roofline(census["floor_bytes"], steps, kind)
+        full = hbm_roofline(census["total"], steps, kind)
+        out[f"{label}_hbm_gbps"] = round(
+            floor["achieved_hbm_bytes_per_sec"] / 1e9, 1
+        )
+        out[f"{label}_roofline_min_step_us_floor"] = round(
+            floor["min_step_us"], 1
+        )
+        out[f"roofline_frac_{label}"] = round(floor["roofline_frac"], 4)
+        out[f"roofline_frac_{label}_census"] = round(
+            full["roofline_frac"], 4
+        )
 
     try:
         import pathlib

@@ -39,3 +39,59 @@ def test_mfu_math_and_unknown_chip():
     # CPU/unknown chips: no peak -> mfu 0, never a division error
     assert mfu(1e6, 1e6, "cpu-thing")["mfu_bf16"] == 0.0
     assert peak_flops("cpu-thing")["f32_highest"] == 0.0
+
+
+def test_param_census_matches_live_pytree():
+    """contrastive_param_count must equal the real model's trainable
+    parameter count (the same census test_models.py pins by hand)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
+    from contrastiveprosthetics_tpu.utils.flops import contrastive_param_count
+
+    model = ContrastiveModel(d_e=16, adabn=True)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, 41, 12)), jnp.zeros((2, 41, 20)), 0.5, 0.5, True,
+    )
+    live = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(variables["params"])
+    )
+    assert contrastive_param_count() == live
+
+
+def test_hbm_census_floor_matches_the_nogo_note():
+    """The irreducible Adam floor (6P words) is the '~50 MB/step' the
+    fused-train-step NO-GO note asserts; the expected census sits above
+    it (grads + second weight read + activations)."""
+    from contrastiveprosthetics_tpu.utils.flops import (
+        train_hbm_bytes_per_step,
+    )
+
+    c = train_hbm_bytes_per_step(batch_size=8)
+    assert c["floor_bytes"] == 6 * c["param_count"] * 4
+    assert 45e6 < c["floor_bytes"] < 55e6          # ~48.6 MB
+    assert c["total"] > c["floor_bytes"]
+    assert c["optimizer_bytes"] == 10 * c["param_count"] * 4
+    # activations scale with batch; the floor does not
+    c32 = train_hbm_bytes_per_step(batch_size=32)
+    assert c32["floor_bytes"] == c["floor_bytes"]
+    assert c32["activation_bytes"] == 4 * c["activation_bytes"]
+
+
+def test_hbm_roofline_math():
+    from contrastiveprosthetics_tpu.utils.flops import (
+        hbm_roofline,
+        peak_hbm_bytes_per_sec,
+    )
+
+    assert peak_hbm_bytes_per_sec("TPU v5 lite") == 819e9
+    r = hbm_roofline(50e6, 10_000.0, "TPU v5 lite")  # 500 GB/s achieved
+    np.testing.assert_allclose(r["achieved_hbm_bytes_per_sec"], 500e9)
+    np.testing.assert_allclose(r["roofline_frac"], 500e9 / 819e9)
+    np.testing.assert_allclose(r["min_step_us"], 50e6 / 819e9 * 1e6)
+    # unknown chip: no peak, no division error
+    assert hbm_roofline(1e6, 1.0, "cpu-thing")["roofline_frac"] == 0.0
