@@ -751,7 +751,18 @@ def phase_eval() -> dict:
     print(f"eval[peak bs=D={vt.D}]: {fmt(eval_peak)} windows/s (xla "
           f"{fmt(ab['xla_peak'])} vs fused {fmt(ab['fused_peak'])})",
           file=sys.stderr)
+    # in-band regime marker (round 3): eval throughput is bimodal across
+    # runs (recorded 11.8-12.5 vs 22.2-22.4 M w/s on an otherwise idle
+    # box) depending on the axon SERVER's dispatch regime — fast after
+    # small-program histories, ~2× slower after large-program histories
+    # (the server outlives client processes, so fresh-process isolation
+    # doesn't reset it). The null-RTT probe stamps which regime this run
+    # measured; cross-run comparisons must condition on it.
+    rtt = _null_rtt_ms(jax)
+    print(f"eval: null dispatch+readback RTT p50 {rtt:.2f} ms "
+          f"(dispatch-regime marker)", file=sys.stderr)
     return {"eval_windows_per_sec": round(eval_wps, 1),
+            "eval_rtt_null_p50_ms": round(rtt, 2),
             "eval_headline_stat": f"median of {n_trials}x{reps}-pass trials",
             "eval_peak_windows_per_sec": (round(eval_peak, 1)
                                           if eval_peak else None),

@@ -146,16 +146,21 @@ class Trainer:
                 # windows/s, 2 → 3.38-3.50M, 4 → 3.36M — 2 stays optimal
                 self.scan_unroll = 2 if tpu else 1
         if self.use_fused_encoder is None:
-            # stays OFF by default: five recorded v5e A/Bs (2026-08-18,
-            # bench phase_eval) are mixed at the canonical eval geometry
-            # — fused −2.4 % to +12 % vs xla (10.4-13.3 M windows/s),
-            # mean ≈ +2 %, within the run-to-run spread — eval batches
-            # are large enough that XLA amortizes the per-layer HBM
-            # traffic the kernel removes. (The bs=D peak leg once read
-            # fused +20-35 %, but it did not reproduce — that leg is one
-            # short unpadded batch and jitter-dominated.) No consistent
-            # win → no default flip; the kernel's wins are the serve
-            # tick chains (13.1×/9.6×), where it IS the default.
+            # stays OFF by default — re-decided round 3 with the variance
+            # treatment VERDICT r2 #3 asked for (median of 4×200-pass
+            # trials, per-trial lists recorded in eval_encoder_ab_trials,
+            # serialized runs on an idle box). Three clean v5e runs
+            # (2026-08-19): the throughput itself is BIMODAL with the
+            # axon server's dispatch regime (22.2-22.4 M windows/s after
+            # small-program histories vs 11.6-13.1 M after large-program
+            # histories — the server outlives client processes; in-band
+            # marker: eval_rtt_null_p50_ms), and inside that the
+            # fused-vs-xla delta FLIPS SIGN: fast regime fused +0.8 %
+            # (inside the ~1 % trial spread) with xla +8.6 % at bs=D;
+            # slow regime fused +5.5 % in one run, xla +13 % in the next
+            # (trial spread ±15 %). Signal < spread in every direction →
+            # no default flip; the kernel's wins are the serve tick
+            # chains (13.1×/9.6×), where it IS the default.
             self.use_fused_encoder = False
         # the fused encoder requires inference-affine normalization and the
         # shared one-hot class embedding (see ops/pallas_ops.py §2)
