@@ -132,6 +132,16 @@ class Trainer:
     # body). None → 2 on TPU, 1 elsewhere (XLA:CPU compile cost doubles
     # per unroll step for zero benefit there).
     scan_unroll: Optional[int] = None
+    # Adam first-moment dtype: "bfloat16" halves the mu read+write HBM
+    # traffic (the memory-roofline memo's first named lever — mu is 2P of
+    # the 6P-word floor, docs/SCALING.md). Measured A/B at canonical
+    # geometry (v5e, rbg, marginal slopes, idle box, 2026-08-19):
+    # 3.459M f32 vs 3.492M bf16-mu windows/s — +0.95 %, inside noise →
+    # the canonical step's floor gap is NOT mu-traffic-bound in practice
+    # (latency/scheduling of the bs=8 step dominates; see SCALING memo).
+    # Parity default: float32 (the reference's torch Adam keeps f32
+    # moments). optax casts mu only; nu stays f32.
+    adam_mu_dtype: str = "float32"
 
     def __post_init__(self):
         if self.use_pallas_loss is None or self.scan_unroll is None:
@@ -183,7 +193,10 @@ class Trainer:
         self.view_train = self.store.view("train", db2=self.db2)
         self.view_val = self.store.view("val", db2=self.db2)
         self.view_test = self.store.view("test", db2=self.db2)
-        self._opt = optax.scale_by_adam()
+        self._opt = optax.scale_by_adam(
+            mu_dtype=(jnp.bfloat16 if self.adam_mu_dtype == "bfloat16"
+                      else None)
+        )
         self._init_jit = None
         self._train_epoch_jit = None
         self._train_epochs_jit = None
