@@ -93,31 +93,9 @@ def _load_recording(path: str):
 
 
 def _template_state(model, cfg):
-    """A fresh TrainState matching ``Trainer.init_state``'s structure
-    (engine.py) without needing a DeviceStore — the restore template."""
-    import jax
-    import jax.numpy as jnp
-    import optax
+    from contrastiveprosthetics_tpu.train.checkpoint import template_state
 
-    from contrastiveprosthetics_tpu.train.engine import TrainState
-
-    key = jax.random.PRNGKey(0)
-    T = cfg.max_tasks
-    variables = model.init(
-        {"params": key, "dropout": key},
-        jnp.zeros((2, T, cfg.emg_dim)), jnp.zeros((2, T, cfg.glove_dim)),
-        0.5, 0.5, True,
-    )
-    params = dict(variables["params"])
-    params.setdefault("emg_net", {})
-    params.setdefault("glove_net", {})
-    opt = optax.scale_by_adam()
-    return TrainState(
-        params=params,
-        batch_stats=variables.get("batch_stats", {}),
-        opt_emg=opt.init(params["emg_net"]),
-        opt_glove=opt.init(params["glove_net"]),
-    )
+    return template_state(model, cfg)
 
 
 def main(argv=None):

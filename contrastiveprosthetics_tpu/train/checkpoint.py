@@ -25,6 +25,36 @@ def load_checkpoint(path: str, template):
         return serialization.from_bytes(template, f.read())
 
 
+def template_state(model, cfg):
+    """A fresh ``TrainState`` matching ``Trainer.init_state``'s structure
+    (engine.py:207-225) without needing a DeviceStore — the restore
+    template for checkpoint loads outside a training context
+    (``cptpu-serve``, ``cptpu-import``)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from contrastiveprosthetics_tpu.train.engine import TrainState
+
+    key = jax.random.PRNGKey(0)
+    T = cfg.max_tasks
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, T, cfg.emg_dim)), jnp.zeros((2, T, cfg.glove_dim)),
+        0.5, 0.5, True,
+    )
+    params = dict(variables["params"])
+    params.setdefault("emg_net", {})
+    params.setdefault("glove_net", {})
+    opt = optax.scale_by_adam()
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_emg=opt.init(params["emg_net"]),
+        opt_glove=opt.init(params["glove_net"]),
+    )
+
+
 # --------------------------------------------------------------------- orbax
 def save_checkpoint_orbax(path: str, state) -> None:
     """Orbax backend: directory-based, async-capable, multi-host-ready —
