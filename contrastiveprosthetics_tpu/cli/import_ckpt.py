@@ -78,7 +78,8 @@ def main(argv=None):
     if meta.get("dropped_dead"):
         print(f"  dropped dead reference params: {meta['dropped_dead']} "
               "(logit_scale's multiplication is commented out, "
-              "models.py:81,129)")
+              "models.py:81,129; the contrastive glove tower never calls "
+              "`last`, models.py:425-428,457-458)")
     if meta.get("dropped_untrained"):
         print(f"  dropped {len(meta['dropped_untrained'])} untrained "
               "glove-tower tensors (prediction mode trains the EMG tower "

@@ -249,6 +249,7 @@ def import_state_dict(
                 or k == "logit_scale"
                 or k.endswith("num_batches_tracked"))
     )
+    dead = [k for k in ("logit_scale",) if k in sd]
     if meta["prediction"]:
         # the reference's prediction mode only trains/uses the EMG tower
         # (train.py:101 drives Model.prediction_loss on EMG; its
@@ -259,10 +260,20 @@ def import_state_dict(
         ]
         dropped = [k for k in dropped if not k.startswith("glove_net.")]
         params["glove_net"] = {}
+    else:
+        # a real contrastive checkpoint also carries glove_net.last.0.weight:
+        # GLOVENet constructs the 256->d_e projection (models.py:425-428) but
+        # its contrastive forward uses only `easy` (models.py:457-458) — the
+        # tensor's sole gradient is the l2 decay term (models.py:467-471,
+        # summed at models.py:227-228), so it is dead weight, dropped with a
+        # note like logit_scale.
+        glove_dead = [k for k in dropped if k.startswith("glove_net.last.")]
+        dead += glove_dead
+        dropped = [k for k in dropped if k not in glove_dead]
     if dropped:
         # refuse silently lossy imports
         raise ImportError_(f"unmapped keys: {dropped[:8]}")
-    meta["dropped_dead"] = [k for k in ("logit_scale",) if k in sd]
+    meta["dropped_dead"] = sorted(dead)
     return {"params": params, "batch_stats": stats}, meta
 
 

@@ -107,6 +107,11 @@ def _state_dict(conv_emg, linear, last, easy, adabn: bool):
     add("emg_net.linear", linear)
     add("emg_net.last", last)
     add("glove_net.easy", easy)
+    # a real contrastive checkpoint also carries the glove tower's dead
+    # 256->d_e projection (constructed models.py:425-428, never called in
+    # the contrastive forward models.py:457-458)
+    d_e = easy[0].out_features
+    sd["glove_net.last.0.weight"] = np.zeros((d_e, 256), np.float32)
     return sd
 
 
@@ -184,7 +189,8 @@ def test_import_checkpoint_file_and_cli(tmp_path):
     torch.save(sd, src)
 
     state, meta = import_checkpoint(str(src))
-    assert meta["dropped_dead"] == ["logit_scale"]
+    assert meta["dropped_dead"] == ["glove_net.last.0.weight",
+                                    "logit_scale"]
 
     assert cli_main([str(src), "--out", str(tmp_path / "c.msgpack"),
                      "--platform", "cpu"]) == 0
@@ -264,10 +270,11 @@ def test_import_differential_reference_nets(ref, tmp_path):
     ref_emg.eval()
     ref_glove.eval()
 
+    # the FULL GLOVENet state_dict, exactly as a real checkpoint carries it
+    # — including the dead contrastive `last` projection (models.py:425-428)
     sd = {f"emg_net.{k}": v for k, v in ref_emg.state_dict().items()}
     sd.update({f"glove_net.{k}": v
-               for k, v in ref_glove.state_dict().items()
-               if k.startswith("easy.")})
+               for k, v in ref_glove.state_dict().items()})
     sd["logit_scale"] = torch.zeros(())
     src = tmp_path / "contrastive.pt"
     torch.save(sd, src)
@@ -275,7 +282,8 @@ def test_import_differential_reference_nets(ref, tmp_path):
     state, meta = import_checkpoint(str(src))
     assert meta == {
         "adabn": False, "prediction": False, "n_linear": 7, "hidden": 512,
-        "d_e": 16, "n_classes": T, "dropped_dead": ["logit_scale"],
+        "d_e": 16, "n_classes": T,
+        "dropped_dead": ["glove_net.last.0.weight", "logit_scale"],
     }
 
     B, W = 2, ref.constants.PREDICTION_WINDOW_SIZE
