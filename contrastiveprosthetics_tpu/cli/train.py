@@ -165,6 +165,21 @@ def main(argv=None):
         crossval_load = False
     if crossval_load:
         values, keys = load_crossval(args.data_dir, id_=args.crossval_id)
+    elif args.crossval_size < 1:
+        # skip the hyperparameter search entirely — the reference's CLI
+        # cannot (size-0 sampling feeds an empty argmax, train.py:195);
+        # use the canonical mid-range config pinned by bench.py and
+        # __graft_entry__.py, flowing through the same best-config path
+        import numpy as np
+
+        from contrastiveprosthetics_tpu.train.engine import Hyper
+
+        print("crossval skipped (--crossval_size 0): "
+              "canonical hyperparameters")
+        canonical = Hyper(*[[v] for v in (1e-3, 1e-6, 0.5,
+                                          1e-3, 1e-6, 0.3)])
+        keys = keys_array(canonical, trainer.d_e)
+        values = np.zeros((1, 2))
     else:
         mesh = None
         if args.spmd_crossval and len(jax.devices()) > 1:

@@ -115,6 +115,11 @@ def cross_validate(
     # 2.7× behind was a cross-program contamination artifact (see
     # bench.py's phase-isolation rationale).
     n = len(np.asarray(hypers.lr_emg))
+    if n < 1:
+        raise ValueError(
+            "cross_validate needs at least one config (the CLI maps "
+            "--crossval_size 0 to the canonical hyperparameters instead)"
+        )
     n_dp = 1 if mesh is None else mesh.shape["dp"]
     if chunk is None:
         chunk = resolve_chunk(n, n_dp)

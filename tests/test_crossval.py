@@ -167,3 +167,13 @@ def test_sweep_chunk_at_matches_manual_formulation(trainer):
         np.asarray(vl), np.asarray(vl_ref), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(va), np.asarray(va_ref))
+
+
+def test_cross_validate_rejects_empty_config_set(trainer):
+    """n=0 must fail loudly, not with a ZeroDivisionError in the chunker —
+    the CLI maps --crossval_size 0 to the canonical hyperparameters
+    (cli/train.py) instead of ever reaching here."""
+    empty = sample_hyperparams(0, seed=0)
+    with pytest.raises(ValueError, match="at least one config"):
+        cross_validate(trainer, empty, epochs=1,
+                       key=jax.random.PRNGKey(0))
