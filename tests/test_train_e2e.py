@@ -106,6 +106,31 @@ def test_trailing_partial_batch_steps_the_optimizer(store, hyper):
     assert np.isfinite(float(loss))
 
 
+def test_remat_is_bitwise_identical(store, hyper):
+    """Trainer(remat=True) (jax.checkpoint over the loss) must change
+    nothing numerically: the same dropout key replays the same masks in
+    the recomputed forward, so the post-epoch params match bitwise.
+    (Perf: remat LOSES at every measured geometry — engine.py knob note —
+    it exists for future wider-model memory pressure.)"""
+    out = {}
+    for remat in (False, True):
+        trainer = Trainer(
+            CFG, store, adabn=False, batch_size=store.view("train").D,
+            n_linear=2, hidden=64, remat=remat,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(12))
+        state, loss, _ = trainer.train_epoch(
+            state, jax.random.PRNGKey(13), hyper
+        )
+        out[remat] = (state, float(loss))
+    assert out[False][1] == out[True][1]
+    for x, y in zip(
+        jax.tree_util.tree_leaves(out[False][0].params),
+        jax.tree_util.tree_leaves(out[True][0].params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 @pytest.mark.slow
 def test_train_epoch_is_deterministic(store, hyper):
     trainer = Trainer(CFG, store, adabn=False, batch_size=8)
