@@ -91,6 +91,18 @@ class ContrastiveModel(nn.Module):
         ).reshape(B, T, self.d_e)
         return _l2_normalize(e), _l2_normalize(g)
 
+    def embed_glove(self, glove, dp_glove, train: bool):
+        """The glove half of :meth:`embed` alone: (B, T, glove_dim) →
+        normalized (B, T, d_e). Used by the fused-training path
+        (ops/train_fused.py), where the EMG tower runs through the
+        Pallas chain and only the class tower needs flax."""
+        B, T = glove.shape[:2]
+        labels = jnp.tile(jnp.arange(T), B)
+        g = self.glove_net(
+            glove.reshape(-1, self.glove_dim), labels, dp_glove, train
+        ).reshape(B, T, self.d_e)
+        return _l2_normalize(g)
+
     def __call__(self, emg, glove, dp_emg, dp_glove, train: bool):
         """``emg``: (B, T, emg_dim) train or (B, T, W, emg_dim) eval-vote.
         ``glove``: (B, T, glove_dim). Labels are implicitly ``arange(T)``

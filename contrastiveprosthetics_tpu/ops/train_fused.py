@@ -72,14 +72,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_U32_MAX = jnp.uint32(0xFFFFFFFF)
+_U32_MAX = 0xFFFFFFFF
 # largest f32 strictly below 1.0: keep·2³² then stays below 2³² in f32
-_KEEP_CLIP = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+# (numpy, not jnp: this module is imported lazily from inside jitted
+# functions, where a module-level jnp op would capture a live tracer)
+_KEEP_CLIP = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
 
 
 def _keep_threshold(keep: jax.Array) -> jax.Array:
@@ -94,7 +97,7 @@ def _keep_threshold(keep: jax.Array) -> jax.Array:
     t = (jnp.clip(keep, 0.0, _KEEP_CLIP) * jnp.float32(2.0**32)).astype(
         jnp.uint32
     )
-    return jnp.where(keep >= 1.0, _U32_MAX, t)
+    return jnp.where(keep >= 1.0, jnp.uint32(_U32_MAX), t)
 
 
 def _tile_rows(n: int) -> int:

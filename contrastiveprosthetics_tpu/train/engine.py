@@ -115,6 +115,17 @@ class Trainer:
     # TPU A/B is recorded (the no-kernel-ships-without-a-winning-A/B
     # rule); set True to select it explicitly (interpret mode off-TPU).
     use_fused_encoder: Optional[bool] = None
+    # Fused TRAINING chain (ops/train_fused.py): the dense stack's
+    # forward+backward as per-block Pallas kernels whose epilogues
+    # accumulate the BatchNorm statistics (fwd Σr/Σr², bwd Σdz/Σdz·x̂)
+    # while the GEMM tiles are in VMEM — built against the round-3
+    # peak-geometry attribution (252 µs/step of convert_reduce_fusion =
+    # HBM activation re-reads, docs/SCALING.md). Dropout masks come from
+    # the TPU hardware PRNG (a different — equally valid — stream than
+    # the flax path; rate 0 is mask-free and matches flax to f32
+    # roundoff). Contrastive training only (prediction mode stays XLA).
+    # None → auto (see __post_init__ for the recorded A/B and verdict).
+    use_fused_train: Optional[bool] = None
     # architecture knobs (defaults = reference parity); shrink in tests to
     # keep CPU GSPMD compiles tractable
     n_linear: int = 7
@@ -190,6 +201,23 @@ class Trainer:
         self._fused_encoder_eligible = (
             not self.adabn and not self.prediction and not self.glove_encoding
         )
+        if self.use_fused_train is None:
+            # OFF until its TPU A/B records a win (the no-kernel-ships-
+            # without-a-winning-A/B rule); set True to select explicitly
+            # (interpret mode off-TPU).
+            self.use_fused_train = False
+        self._fused_train_eligible = not self.prediction
+        if self.use_fused_train and not self._fused_train_eligible:
+            import warnings
+
+            # never let an explicit request silently measure the XLA path
+            # (an A/B would record a phantom tie) — same rule as the
+            # fused-encoder eval fallback below
+            warnings.warn(
+                "use_fused_train requested but prediction mode is "
+                "ineligible (the fused chain trains the contrastive "
+                "embedding only); falling back to the XLA train path."
+            )
         self.model = ContrastiveModel(
             d_e=self.d_e,
             emg_dim=self.cfg.emg_dim,
@@ -264,8 +292,50 @@ class Trainer:
     # ------------------------------------------------------------- train step
     def _loss_and_metrics(self, params, batch_stats, emg_b, glove_b, hyper,
                           dropout_key, train: bool):
+        if train and self.use_fused_train and self._fused_train_eligible:
+            from contrastiveprosthetics_tpu.ops.pallas_ops import (
+                fused_contrastive_loss,
+                on_tpu,
+            )
+            from contrastiveprosthetics_tpu.ops.train_fused import (
+                fused_emg_embed,
+            )
+
+            B, T = emg_b.shape[:2]
+            k_emg, k_glove = jax.random.split(dropout_key)
+            e, emg_updates = fused_emg_embed(
+                params["emg_net"], emg_b.reshape(-1, self.cfg.emg_dim),
+                hyper.dp_emg, k_emg,
+                compute_dtype=self.model.dtype,
+                batch_stats=batch_stats, adabn=self.adabn,
+                interpret=not on_tpu(),
+            )
+            e = e.reshape(B, T, self.d_e)
+            e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+            g, g_upd = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                glove_b, hyper.dp_glove, True,
+                rngs={"dropout": k_glove},
+                mutable=["batch_stats"],
+                method=ContrastiveModel.embed_glove,
+            )
+            if self.use_pallas_loss:
+                loss, correct = fused_contrastive_loss(e, g, not on_tpu())
+                acc = correct / (B * T)
+            else:
+                logits = jnp.einsum("ntd,nsd->nts", e, g)
+                loss = symmetric_contrastive_loss(logits)
+                acc = contrastive_train_accuracy(logits)
+            if self.adabn:
+                new_bs = batch_stats
+            else:
+                new_bs = dict(batch_stats)
+                new_bs["emg_net"] = emg_updates
+                gbs = g_upd.get("batch_stats", {})
+                if "glove_net" in gbs:
+                    new_bs["glove_net"] = gbs["glove_net"]
+            return loss, (acc, new_bs, None)
         if train and self.use_pallas_loss and not self.prediction:
-            from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
             from contrastiveprosthetics_tpu.ops.pallas_ops import (
                 fused_contrastive_loss,
                 on_tpu,

@@ -80,3 +80,79 @@ assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "batched preds diverge"
 assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "batched votes diverge"
 print("TPU kernel check OK")
 PY
+
+# Fused TRAINING chain (ops/train_fused.py): hardware-only properties —
+# the backward's PRNG mask REGENERATION identity (same seeds → same bits;
+# a mismatch would blow up the gradient differential), real-bit mask
+# statistics, determinism, and the full-encoder composition vs flax.
+python - <<'PY'
+import numpy as np, jax, jax.numpy as jnp
+from contrastiveprosthetics_tpu.ops.train_fused import (
+    fused_dense_chain, dense_chain_reference, extract_prng_masks,
+    fused_emg_embed)
+from contrastiveprosthetics_tpu.models.emg_net import EMGNet
+assert jax.default_backend() == "tpu"
+
+L, D0, F, N = 7, 768, 512, 328   # reference width, canonical rows
+key = jax.random.key(11)
+ks = jax.random.split(key, 2 * L + 3)
+ws = tuple(jax.random.normal(ks[i], (D0 if i == 0 else F, F)) * 0.05
+           for i in range(L))
+bs = tuple(jax.random.normal(ks[L + i], (F,)) * 0.05 for i in range(L))
+gs = tuple(jnp.ones((F,)) for _ in range(L))
+betas = tuple(jnp.zeros((F,)) for _ in range(L))
+x0 = jax.random.normal(ks[-3], (N, D0))
+dkey = ks[-2]
+rate = jnp.float32(0.5)
+
+run = jax.jit(lambda *a: fused_dense_chain(*a, dkey, rate,
+                                           mask_mode="prng"))
+h1, m1, v1 = run(x0, ws, bs, gs, betas)
+h2, m2, v2 = run(x0, ws, bs, gs, betas)
+assert np.array_equal(np.asarray(h1), np.asarray(h2)), "nondeterministic"
+
+# extracted hardware masks: statistics + oracle equality of values/grads
+em = extract_prng_masks(N, [F] * L, dkey, rate, n_linear=L)
+for j, m in enumerate(em):
+    mean = float(np.asarray(m).mean())
+    sigma = (0.25 / m.size) ** 0.5
+    assert abs(mean - 0.5) < 6 * sigma, (j, mean)
+hr, mr, vr = dense_chain_reference(x0, ws, bs, gs, betas, em, 0.5,
+                                   dropout_from=L - 4)
+assert np.allclose(np.asarray(h1), np.asarray(hr), rtol=5e-3, atol=5e-3), (
+    np.abs(np.asarray(h1) - np.asarray(hr)).max())
+
+args = (x0, ws, bs, gs, betas)
+gf = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(fused_dense_chain(
+    *a, dkey, rate, mask_mode="prng")[0]))))(args)
+gr = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(dense_chain_reference(
+    *a, em, 0.5, dropout_from=L - 4)[0]))))(args)
+worst = 0.0
+for got, want in zip(jax.tree_util.tree_leaves(gf),
+                     jax.tree_util.tree_leaves(gr)):
+    scale = max(float(jnp.abs(want).max()), 1e-3)
+    d = float(jnp.abs(got - want).max()) / scale
+    worst = max(worst, d)
+    assert d < 2e-2, d   # MXU default-precision band
+print(f"fused-train prng regen + oracle grads OK (worst rel {worst:.1e})")
+
+# full composition vs flax at rate=0 on hardware (f32 + bf16 compile)
+model = EMGNet(d_e=16, adabn=False, n_linear=7, hidden=512)
+frames = jax.random.normal(jax.random.key(2), (328, 12))
+variables = model.init({"params": key, "dropout": key}, frames, 0.0, True)
+params, bstats = variables["params"], variables["batch_stats"]
+ef, _ = jax.jit(lambda p: model.apply(
+    {"params": p, "batch_stats": bstats}, frames, 0.0, True,
+    rngs={"dropout": dkey}, mutable=["batch_stats"]))(params)
+eg, _ = jax.jit(lambda p: fused_emg_embed(
+    p, frames, jnp.float32(0.0), dkey, batch_stats=bstats,
+    adabn=False))(params)
+assert np.allclose(np.asarray(ef), np.asarray(eg), rtol=5e-3, atol=5e-3), (
+    np.abs(np.asarray(ef) - np.asarray(eg)).max())
+eb, _ = jax.jit(lambda p: fused_emg_embed(
+    p, frames, jnp.float32(0.5), dkey, batch_stats=bstats,
+    adabn=False, compute_dtype=jnp.bfloat16))(params)
+assert np.all(np.isfinite(np.asarray(eb)))
+print("fused-train encoder composition OK (f32 + bf16)")
+PY
+echo "tpu_kernel_check complete"
