@@ -142,15 +142,22 @@ class ChainCfg:
 # ---------------------------------------------------------------------
 
 
-def _draw_mask(shape, seed0, seed1, block: int, tile, thr):
+def _draw_mask(shape, seed0, seed1, block: int, tile, thr_biased):
     """{0,1} f32 dropout mask from the TPU hardware PRNG. Seeded per
     (step-seed, block, row-tile) so the backward regenerates the exact
-    forward bits by construction."""
+    forward bits by construction.
+
+    ``thr_biased`` is the uint32 keep-threshold sign-biased into int32
+    (``_seed_smem``): Mosaic's ``tpu.bitcast`` only accepts VECTOR
+    operands (hardware check, round 3), so the scalar SMEM word cannot
+    be re-bitcast to uint32 in-kernel — instead both sides of the
+    compare ride the order-preserving map u ↦ int32(u ^ 0x80000000)
+    (u ≤ᵤ t  ⟺  bias(u) ≤ₛ bias(t)), bit-identical masks."""
     pltpu.prng_seed(seed0, seed1, block, tile)
     bits = pltpu.prng_random_bits(shape)
-    if bits.dtype != jnp.uint32:
-        bits = lax.bitcast_convert_type(bits, jnp.uint32)
-    return (bits <= thr).astype(jnp.float32)
+    if bits.dtype != jnp.int32:
+        bits = lax.bitcast_convert_type(bits, jnp.int32)  # vector: allowed
+    return ((bits ^ jnp.int32(-(2**31))) <= thr_biased).astype(jnp.float32)
 
 
 def _valid_rows(i, rows: int, n_real: int):
@@ -184,9 +191,8 @@ def _fwd_block_kernel(*refs, block: int, n_real: int, has_affine: bool,
         z = z * a_ref[...] + c_ref[...]
     if drop_mode != "none":
         if drop_mode == "prng":
-            thr = lax.bitcast_convert_type(seed_ref[2, 0], jnp.uint32)
             m = _draw_mask(z.shape, seed_ref[0, 0], seed_ref[1, 0], block,
-                           i, thr)
+                           i, seed_ref[2, 0])
         else:
             m = mask_ref[...]
         z = jnp.where(m > 0.0, z / keep_ref[0, 0], 0.0)
@@ -256,9 +262,8 @@ def _bwd_block_kernel(*refs, block: int, n_real: int, has_affine: bool,
     z = x * ain_ref[...] + cin_ref[...] if has_affine else x
     m = None
     if drop_mode == "prng":
-        thr = lax.bitcast_convert_type(seed_ref[2, 0], jnp.uint32)
         m = _draw_mask(z.shape, seed_ref[0, 0], seed_ref[1, 0], block - 1,
-                       i, thr)
+                       i, seed_ref[2, 0])
     elif drop_mode == "input":
         m = mask_ref[...]
     if m is not None:
@@ -507,11 +512,14 @@ def _chain(cfg: ChainCfg, key_impl: str, x0, ws, bs, gammas, betas,
 
 def _seed_smem(cfg: ChainCfg, seed_f32, keep):
     """(3, 1) int32 SMEM payload: two seed words + the keep-threshold
-    bitcast (kernels re-bitcast word 2 to uint32)."""
+    SIGN-BIASED into int32 (u ↦ u ^ 0x80000000; see ``_draw_mask`` —
+    Mosaic cannot bitcast the scalar SMEM word in-kernel)."""
     if cfg.mask_mode != "prng":
         return None
     seeds = lax.bitcast_convert_type(seed_f32, jnp.int32).reshape(2, 1)
-    thr = lax.bitcast_convert_type(_keep_threshold(keep), jnp.int32)
+    thr = lax.bitcast_convert_type(
+        _keep_threshold(keep) ^ jnp.uint32(2**31), jnp.int32
+    )
     return jnp.concatenate([seeds, thr.reshape(1, 1)], axis=0)
 
 
@@ -741,9 +749,8 @@ def dense_chain_reference(x0, ws, bs, gammas, betas, masks, keep, *,
 
 def _mask_kernel(seed_ref, m_ref, *, block: int):
     i = pl.program_id(0)
-    thr = lax.bitcast_convert_type(seed_ref[2, 0], jnp.uint32)
     m_ref[...] = _draw_mask(m_ref.shape, seed_ref[0, 0], seed_ref[1, 0],
-                            block, i, thr)
+                            block, i, seed_ref[2, 0])
 
 
 def extract_prng_masks(x0_rows: int, widths, dropout_key, rate, *,
