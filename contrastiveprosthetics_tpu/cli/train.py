@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "similarity as ONE Pallas kernel with VMEM-resident"
                         " weights (ops/pallas_ops.py §2; interpret mode "
                         "off-TPU)")
+    p.add_argument("--fused_train", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="fused Pallas training chain for the dense stack "
+                        "(ops/train_fused.py: BN statistics ride the GEMM "
+                        "tiles, dropout masks from the TPU hardware PRNG). "
+                        "auto = the recorded A/B default (engine.Trainer."
+                        "use_fused_train); contrastive mode only")
     p.add_argument("--compat", action="store_true",
                    help="reproduce every reference quirk (uint8 time mask, "
                         "complete stats, shared StepLR, 249-col voting)")
@@ -141,6 +148,9 @@ def main(argv=None):
         batch_size=args.batch_size,
         use_pallas_loss=True if args.pallas_loss else None,  # None → auto
         use_fused_encoder=True if args.fused_encoder else None,
+        use_fused_train={"auto": None, "on": True, "off": False}[
+            args.fused_train
+        ],
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print("Dataset loaded")

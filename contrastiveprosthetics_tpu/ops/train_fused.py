@@ -39,8 +39,9 @@ stack as one fused kernel per block plus tiny XLA glue:
   kernel while dz_{i-1} and r_{i-1} are still in VMEM.
 
 Dropout masks are never materialized in HBM: the forward kernel draws
-them from the TPU hardware PRNG (``pltpu.prng_seed(seed, block, tile)``
-+ ``prng_random_bits``) and the backward kernel REGENERATES the same
+them from the TPU hardware PRNG (two-word ``pltpu.prng_seed`` with the
+(block, tile) coordinates mixed into the seed words — see ``_draw_mask``
+— + ``prng_random_bits``) and the backward kernel REGENERATES the same
 bits with the same seeds (``mask_mode="prng"``). For hermetic CPU tests
 (interpret mode stubs the PRNG to zeros) and for exact differential
 tests against an XLA oracle, ``mask_mode="input"`` feeds explicit
@@ -152,8 +153,21 @@ def _draw_mask(shape, seed0, seed1, block: int, tile, thr_biased):
     operands (hardware check, round 3), so the scalar SMEM word cannot
     be re-bitcast to uint32 in-kernel — instead both sides of the
     compare ride the order-preserving map u ↦ int32(u ^ 0x80000000)
-    (u ≤ᵤ t  ⟺  bias(u) ≤ₛ bias(t)), bit-identical masks."""
-    pltpu.prng_seed(seed0, seed1, block, tile)
+    (u ≤ᵤ t  ⟺  bias(u) ≤ₛ bias(t)), bit-identical masks.
+
+    The deployed libtpu's ``tpu.prng_set_seed_32`` accepts at most TWO
+    seed words (hardware check, round 4: "Setting seed with more than 2
+    values is not supported" — the 4-word form compiled in interpret
+    mode only), so the (block, tile) stream coordinates are folded into
+    the words with injective odd-multiplier mixes: distinct blocks move
+    word 0, distinct tiles move word 1, so (block, tile) ↦ (s0, s1) is
+    collision-free for fixed step seeds, and the backward — calling this
+    same function with the same coordinates — regenerates the exact
+    forward bits."""
+    b = jnp.int32(block)
+    s0 = seed0 ^ (b * jnp.int32(0x61C88647) + jnp.int32(0x165667B1))
+    s1 = seed1 ^ (tile * jnp.int32(0x27D4EB2F) + b)
+    pltpu.prng_seed(s0, s1)
     bits = pltpu.prng_random_bits(shape)
     if bits.dtype != jnp.int32:
         bits = lax.bitcast_convert_type(bits, jnp.int32)  # vector: allowed
@@ -191,8 +205,15 @@ def _fwd_block_kernel(*refs, block: int, n_real: int, has_affine: bool,
         z = z * a_ref[...] + c_ref[...]
     if drop_mode != "none":
         if drop_mode == "prng":
-            m = _draw_mask(z.shape, seed_ref[0, 0], seed_ref[1, 0], block,
-                           i, seed_ref[2, 0])
+            # seed coordinate = the DROPPED block's index (block - 1: this
+            # kernel drops its input, block-1's output) — the same
+            # coordinate the backward kernel and extract_prng_masks use.
+            # The first hardware run caught the fwd side passing `block`
+            # here (off by one vs bwd/extraction): interpret mode stubs
+            # the PRNG to zero bits, so only the on-TPU check
+            # (scripts/tpu_kernel_check.sh) could see it.
+            m = _draw_mask(z.shape, seed_ref[0, 0], seed_ref[1, 0],
+                           block - 1, i, seed_ref[2, 0])
         else:
             m = mask_ref[...]
         z = jnp.where(m > 0.0, z / keep_ref[0, 0], 0.0)

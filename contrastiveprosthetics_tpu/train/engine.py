@@ -202,8 +202,22 @@ class Trainer:
             not self.adabn and not self.prediction and not self.glove_encoding
         )
         if self.use_fused_train is None:
-            # OFF until its TPU A/B records a win (the no-kernel-ships-
-            # without-a-winning-A/B rule); set True to select explicitly
+            # OFF — the recorded TPU A/B is a LOSS at every batch size
+            # under the shipped rbg default (v5e, marginal slopes, one
+            # leg per process, alternating trials, 2026-08-20;
+            # docs/ab_fused_train_r04.jsonl + SCALING round-4 table):
+            #   bs=8 f32 −13 %, bs=128 bf16 −27 % (4.94 vs 6.74 M
+            #   windows/s median), bs=256 −8 %, bs=512 −22 %,
+            #   bs=D=1800 −14 %.
+            # The per-block kernel choreography (7 fwd + 7 bwd
+            # pallas_calls per step — block j+1's input affine needs
+            # block j's full-batch statistics, so the stages can't
+            # collapse) costs more than the 252 µs/step of BN-stat
+            # re-reads it eliminates. The fusion is real per-byte (XLA's
+            # convert_reduce_fusion 19.4 % → 1.9 % at bs=D) and the
+            # chain+hardware-PRNG beats a THREEFRY XLA leg at bs=D by
+            # +12 % — the recorded escape hatch for threefry-pinned
+            # huge-batch configs. Set True to select explicitly
             # (interpret mode off-TPU).
             self.use_fused_train = False
         self._fused_train_eligible = not self.prediction

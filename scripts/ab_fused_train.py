@@ -40,15 +40,16 @@ def main() -> None:
     ap.add_argument("--e_lo", type=int, default=5)
     ap.add_argument("--e_hi", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3,
-                    help="timed reps per length; first is compile/warm")
+                    help="timed reps per length; first is compile/warm; "
+                    "must be >= 2 so one warm rep survives")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
-    if args.platform:
-        os.environ["CPTPU_PLATFORM"] = args.platform
-    from contrastiveprosthetics_tpu.utils.platform import apply_platform
+    if args.reps < 2:
+        ap.error("--reps must be >= 2 (rep 0 is compile/warm-up only)")
+    from contrastiveprosthetics_tpu.utils.platform import select_platform
 
-    apply_platform()
+    select_platform(args.platform)
     import jax
     import numpy as np
 
@@ -94,16 +95,22 @@ def main() -> None:
         return best
 
     t_lo, t_hi = run(args.e_lo), run(args.e_hi)
-    wps = (args.e_hi - args.e_lo) * wpe / (t_hi - t_lo)
-    print(json.dumps({
+    out = {
         "leg": args.leg, "batch_size": args.batch_size,
         "compute_dtype": args.compute_dtype, "prng_impl": impl,
-        "windows_per_sec": round(wps, 1),
         "t_lo_s": round(t_lo, 4), "t_hi_s": round(t_hi, 4),
-        "us_per_step": round(1e6 * (t_hi - t_lo)
-                             / ((args.e_hi - args.e_lo)
-                                * -(-v.D // args.batch_size)), 2),
-    }))
+    }
+    if t_hi - t_lo <= 0:
+        # Timing jitter swallowed the marginal slope — refuse to publish
+        # a negative/infinite rate (same rule as bench.py's slope_us).
+        out["error"] = "non_positive_slope"
+    else:
+        out["windows_per_sec"] = round(
+            (args.e_hi - args.e_lo) * wpe / (t_hi - t_lo), 1)
+        out["us_per_step"] = round(
+            1e6 * (t_hi - t_lo)
+            / ((args.e_hi - args.e_lo) * -(-v.D // args.batch_size)), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

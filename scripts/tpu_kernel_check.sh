@@ -78,6 +78,20 @@ _, p_x, v_x = bx.steps(bx.init_carries(), blocks_b)
 _, p_f, v_f = bf.steps(bf.init_carries(), blocks_b)
 assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "batched preds diverge"
 assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "batched votes diverge"
+
+# §4 session-BLOCKED grid (round 4: capacity beyond the VMEM gate) — force
+# a 3-block geometry (20 sessions, block 8, pad in the last) vs XLA
+S = 20
+bx, bf = mkb(False), mkb(True)
+bf._session_block = 8
+bx.calibrate_session(13, calib); bf.calibrate_session(13, calib)
+blocks_b = rng.standard_normal((20, S, CFG.factor, 12)).astype(np.float32) * 2.0
+c_x, c_f = bx.init_carries(), bf.init_carries()
+for chunk in (blocks_b[:9], blocks_b[9:]):   # threaded carry across calls
+    c_x, p_x, v_x = bx.steps(c_x, chunk)
+    c_f, p_f, v_f = bf.steps(c_f, chunk)
+    assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "blocked preds diverge"
+    assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "blocked votes diverge"
 print("TPU kernel check OK")
 PY
 
@@ -111,42 +125,66 @@ h1, m1, v1 = run(x0, ws, bs, gs, betas)
 h2, m2, v2 = run(x0, ws, bs, gs, betas)
 assert np.array_equal(np.asarray(h1), np.asarray(h2)), "nondeterministic"
 
-# extracted hardware masks: statistics + oracle equality of values/grads
+# extracted hardware masks: statistics + the REGENERATION IDENTITY —
+# the same kernels fed the extracted masks explicitly must reproduce the
+# prng run BIT-FOR-BIT (this is the property the backward's mask
+# regeneration rests on; it caught the fwd/bwd seed-coordinate
+# off-by-one in round 4) — then oracle equality of values/grads
 em = extract_prng_masks(N, [F] * L, dkey, rate, n_linear=L)
 for j, m in enumerate(em):
     mean = float(np.asarray(m).mean())
     sigma = (0.25 / m.size) ** 0.5
     assert abs(mean - 0.5) < 6 * sigma, (j, mean)
-hr, mr, vr = dense_chain_reference(x0, ws, bs, gs, betas, em, 0.5,
-                                   dropout_from=L - 4)
-assert np.allclose(np.asarray(h1), np.asarray(hr), rtol=5e-3, atol=5e-3), (
-    np.abs(np.asarray(h1) - np.asarray(hr)).max())
+h1i, _, _ = jax.jit(lambda *a: fused_dense_chain(
+    *a, dkey, rate, mask_mode="input", ext_masks=em))(x0, ws, bs, gs, betas)
+assert np.array_equal(np.asarray(h1), np.asarray(h1i)), (
+    "prng chain != same kernels with extracted masks",
+    np.abs(np.asarray(h1) - np.asarray(h1i)).max())
 
+# LOGIC checks vs the XLA f32 oracle run under "highest" matmul
+# precision on BOTH sides (the §2 technique): at DEFAULT precision the
+# MXU's split-bf16 f32 passes drift ~3e-3 of the activation scale
+# through 7 BN layers (measured 0.052 on |h|max 15.0) and the sin-probe
+# grad differential amplifies that to ~0.19 worst-element — all of
+# which collapses to 1.2e-5 / 5.3e-3 under highest precision (round-4
+# measurement), i.e. rounding, not logic.
 args = (x0, ws, bs, gs, betas)
-gf = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(fused_dense_chain(
-    *a, dkey, rate, mask_mode="prng")[0]))))(args)
-gr = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(dense_chain_reference(
-    *a, em, 0.5, dropout_from=L - 4)[0]))))(args)
+with jax.default_matmul_precision("highest"):
+    hh, _, _ = jax.jit(lambda a: fused_dense_chain(
+        *a, dkey, rate, mask_mode="input", ext_masks=em))(args)
+    hr, mr, vr = dense_chain_reference(x0, ws, bs, gs, betas, em, 0.5,
+                                       dropout_from=L - 4)
+    assert np.allclose(np.asarray(hh), np.asarray(hr),
+                       rtol=1e-4, atol=1e-3), (
+        np.abs(np.asarray(hh) - np.asarray(hr)).max())
+    gf = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(fused_dense_chain(
+        *a, dkey, rate, mask_mode="prng")[0]))))(args)
+    gr = jax.jit(jax.grad(lambda a: jnp.sum(jnp.sin(dense_chain_reference(
+        *a, em, 0.5, dropout_from=L - 4)[0]))))(args)
 worst = 0.0
 for got, want in zip(jax.tree_util.tree_leaves(gf),
                      jax.tree_util.tree_leaves(gr)):
     scale = max(float(jnp.abs(want).max()), 1e-3)
     d = float(jnp.abs(got - want).max()) / scale
     worst = max(worst, d)
-    assert d < 2e-2, d   # MXU default-precision band
+    assert d < 2e-2, d   # residual non-matmul rounding band
 print(f"fused-train prng regen + oracle grads OK (worst rel {worst:.1e})")
 
-# full composition vs flax at rate=0 on hardware (f32 + bf16 compile)
+# full composition vs flax at rate=0 on hardware (f32 + bf16 compile);
+# the logic comparison runs under "highest" matmul precision — at
+# default precision the two schedules' MXU passes drift ~1.2e-2
+# (round-4 measurement, same class as the chain checks above)
 model = EMGNet(d_e=16, adabn=False, n_linear=7, hidden=512)
 frames = jax.random.normal(jax.random.key(2), (328, 12))
 variables = model.init({"params": key, "dropout": key}, frames, 0.0, True)
 params, bstats = variables["params"], variables["batch_stats"]
-ef, _ = jax.jit(lambda p: model.apply(
-    {"params": p, "batch_stats": bstats}, frames, 0.0, True,
-    rngs={"dropout": dkey}, mutable=["batch_stats"]))(params)
-eg, _ = jax.jit(lambda p: fused_emg_embed(
-    p, frames, jnp.float32(0.0), dkey, batch_stats=bstats,
-    adabn=False))(params)
+with jax.default_matmul_precision("highest"):
+    ef, _ = jax.jit(lambda p: model.apply(
+        {"params": p, "batch_stats": bstats}, frames, 0.0, True,
+        rngs={"dropout": dkey}, mutable=["batch_stats"]))(params)
+    eg, _ = jax.jit(lambda p: fused_emg_embed(
+        p, frames, jnp.float32(0.0), dkey, batch_stats=bstats,
+        adabn=False))(params)
 assert np.allclose(np.asarray(ef), np.asarray(eg), rtol=5e-3, atol=5e-3), (
     np.abs(np.asarray(ef) - np.asarray(eg)).max())
 eb, _ = jax.jit(lambda p: fused_emg_embed(

@@ -73,6 +73,9 @@ def main(argv=None):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--pallas_loss", action="store_true",
                         help="trace with the fused Pallas loss kernel on")
+    parser.add_argument("--fused_train", action="store_true",
+                        help="trace with the fused training chain "
+                        "(ops/train_fused.py) on")
     args = parser.parse_args(argv)
     select_platform(args.platform)
     if args.quick:
@@ -100,6 +103,7 @@ def main(argv=None):
         args.batch_size = int(store.view("train").D)
     trainer = Trainer(cfg, store, adabn=False, batch_size=args.batch_size,
                       use_pallas_loss=args.pallas_loss,
+                      use_fused_train=args.fused_train or None,
                       compute_dtype=args.compute_dtype)
     hyper = Hyper.single(1e-3, 1e-4, 0.15, 1e-3, 1e-4, 0.15)
     key = jax.random.PRNGKey(0)
@@ -130,7 +134,8 @@ def main(argv=None):
     wpe = (v.D // args.batch_size) * args.batch_size * v.n_tasks
     print(f"devices: {jax.devices()[0].platform} | {args.epochs} epochs, "
           f"{steps} steps, bs={args.batch_size}, "
-          f"dtype={args.compute_dtype}, pallas_loss={args.pallas_loss}")
+          f"dtype={args.compute_dtype}, pallas_loss={args.pallas_loss}, "
+          f"fused_train={trainer.use_fused_train}")
     print(f"untraced wall: {wall:.3f}s → {wall / steps * 1e6:.1f} µs/step, "
           f"{wpe * args.epochs / wall / 1e6:.2f}M windows/s")
     total = aggregate_perfetto(LOGDIR)

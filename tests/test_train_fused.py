@@ -262,6 +262,50 @@ def test_engine_fused_train_matches_xla_path_at_rate0(store):
         )
 
 
+@pytest.mark.slow  # two sweep-program compiles + vmapped interpret kernels
+def test_sweep_chunk_with_fused_train_matches_xla(store):
+    """use_fused_train × the vmapped crossval sweep (VERDICT r3 weak #5):
+    the sweep vmaps ``_sweep_run`` — and with the flag on, the fused
+    chain's ``pallas_call`` + custom VJP — over the config axis. This
+    pins that the composition lowers and reproduces the XLA sweep's
+    (val_loss, val_acc) per config at dropout rate 0 (mask streams out
+    of play), so enabling the flag with ``--crossval_size`` measures the
+    same training, not something silently different."""
+    from contrastiveprosthetics_tpu.train.engine import Hyper, Trainer
+    from contrastiveprosthetics_tpu.train.schedules import schedule_factors
+
+    kw = dict(adabn=False, batch_size=store.view("train").D,
+              n_linear=2, hidden=64)
+    t_ref = Trainer(CFG, store, **kw)
+    t_fused = Trainer(CFG, store, use_fused_train=True, **kw)
+    chunk = 2
+    col = lambda a, b: jnp.asarray([[a, b]], jnp.float32)  # (1 chunk, 2)
+    h = Hyper(
+        lr_emg=col(1e-3, 5e-4), reg_emg=col(1e-6, 1e-5),
+        dp_emg=col(0.0, 0.0),
+        lr_glove=col(1e-3, 5e-4), reg_glove=col(1e-6, 1e-5),
+        dp_glove=col(0.0, 0.0),
+    )
+    emg_f, glove_f = schedule_factors(
+        2, annealing=False, compat_shared_steplr=CFG.compat_shared_steplr
+    )
+    f_e = jnp.asarray(emg_f, jnp.float32)
+    f_g = jnp.asarray(glove_f, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    vl_r, va_r = t_ref.sweep_chunk_at(
+        h, jnp.int32(0), key, f_e, f_g, t_ref.batch_size, chunk
+    )
+    vl_f, va_f = t_fused.sweep_chunk_at(
+        h, jnp.int32(0), key, f_e, f_g, t_fused.batch_size, chunk
+    )
+    np.testing.assert_allclose(
+        np.asarray(vl_f), np.asarray(vl_r), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(va_f), np.asarray(va_r), atol=1e-6
+    )
+
+
 def test_engine_fused_train_ineligible_warns(store):
     """prediction mode must not engage the fused chain even when asked —
     and must say so at construction (no silent fallback: an A/B would
