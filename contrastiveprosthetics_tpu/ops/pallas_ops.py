@@ -747,25 +747,32 @@ def _batched_tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, oh0_ref,
                                mask_ref, sos_ref, mean_ref, std_ref, *rest,
                                n_sec, factor, rms_window, vote_window,
                                n_layers, n_sessions, n_ticks):
+    """Grid: (session blocks, ticks), ticks fastest — each session block's
+    DSP/vote carry lives in VMEM scratch across all its ticks (re-seeded
+    from the block's inputs at tick 0), while the shared weight chain's
+    const blocks stay resident across the ENTIRE grid: weights stream
+    HBM→VMEM once per call no matter how many session blocks stream
+    through (the round-4 capacity extension — the VMEM gate now bounds
+    the session BLOCK, not the session count)."""
     n_aff = 2 * (n_layers - 1)          # (a, c) per non-head layer
     aff_refs = rest[:n_aff]
     w_refs = rest[n_aff:n_aff + 2 * n_layers + 1]
     (preds_ref, votes_ref, iir_out_ref, tail_out_ref, oh_out_ref,
      z_s, filt_s, win_s, tail_s, oh_s) = rest[n_aff + 2 * n_layers + 1:]
-    i = pl.program_id(0)
-    S = n_sessions
+    i = pl.program_id(1)                # tick axis (fastest)
+    S = n_sessions                      # rows per session block
     tail_rows = rms_window - 1
 
     @pl.when(i == 0)
-    def _init():
-        z_s[...] = iir0_ref[...]
-        tail_s[...] = tail0_ref[...]
-        oh_s[...] = oh0_ref[...]
+    def _init():                        # new session block: load its carry
+        z_s[...] = iir0_ref[0]
+        tail_s[...] = tail0_ref[0]
+        oh_s[...] = oh0_ref[0]
 
     def sample(t, _):
         # dynamic (S, D) sample read straight off the ref (Mosaic has no
         # dynamic_slice on materialized values); ingest ×2¹⁰ rescale here
-        y = blocks_ref[0, pl.ds(t * S, S), :] * INGEST_PRESCALE
+        y = blocks_ref[0, 0, pl.ds(t * S, S), :] * INGEST_PRESCALE
         for k in range(n_sec):  # static: transposed direct-form II SOS
             b0, b1, b2 = sos_ref[k, 0], sos_ref[k, 1], sos_ref[k, 2]
             a1, a2 = sos_ref[k, 4], sos_ref[k, 5]
@@ -795,12 +802,12 @@ def _batched_tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, oh0_ref,
         h = jnp.maximum(
             _dot_f32(h, w_refs[2 * j][...]) + w_refs[2 * j + 1][...], 0.0
         )
-        h = h * aff_refs[2 * j][...] + aff_refs[2 * j + 1][...]
+        h = h * aff_refs[2 * j][0] + aff_refs[2 * j + 1][0]
     e = _dot_f32(h, w_refs[-3][...]) + w_refs[-2][...]
     e = e / jnp.sqrt(jnp.sum(e * e, axis=1, keepdims=True))
     scores = _dot_f32(e, w_refs[-1][...])                   # (S, C)
 
-    masked = jnp.where(mask_ref[...] > 0.0, scores, _NEG)
+    masked = jnp.where(mask_ref[0] > 0.0, scores, _NEG)
     pred = _first_max_index(masked)                         # (S, 1) f32
 
     C = scores.shape[1]
@@ -814,22 +821,23 @@ def _batched_tick_chain_kernel(blocks_ref, iir0_ref, tail0_ref, oh0_ref,
     counts = oh_s[0:S, :]
     for t in range(1, vote_window):  # zero rows (unseen slots) add nothing
         counts += oh_s[t * S:(t + 1) * S, :]
-    counts = jnp.where(mask_ref[...] > 0.0, counts, -1.0)
+    counts = jnp.where(mask_ref[0] > 0.0, counts, -1.0)
     vote = _first_max_index(counts)                         # (S, 1)
 
-    preds_ref[...] = pred.astype(jnp.int32)
-    votes_ref[...] = vote.astype(jnp.int32)
+    preds_ref[0] = pred.astype(jnp.int32)
+    votes_ref[0] = vote.astype(jnp.int32)
 
     @pl.when(i == n_ticks - 1)
     def _final():
-        iir_out_ref[...] = z_s[...]
-        tail_out_ref[...] = tail_s[...]
-        oh_out_ref[...] = oh_s[...]
+        iir_out_ref[0] = z_s[...]
+        tail_out_ref[0] = tail_s[...]
+        oh_out_ref[0] = oh_s[...]
 
 
 def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
                              subset_masks, sos, mean, std, shared, affines,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             session_block: int | None = None):
     """K multi-session serve ticks as ONE pallas_call.
 
     Args mirror the batched engine's carry + per-tick inputs, all with a
@@ -839,6 +847,16 @@ def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
     ``shared``: the BN-free matmul chain (:func:`fold_encoder_params_shared`);
     ``affines``: per-session BN affines (:func:`session_bn_affines`).
     Returns ((iir_state, tail, votes, n_seen), preds (K, S), votes (K, S)).
+
+    ``session_block``: rows per session block (static). Sessions are tiled
+    into ``ceil(S / session_block)`` blocks and the kernel grid becomes
+    (blocks, ticks): each block's carry streams HBM→VMEM once and lives in
+    scratch across all K ticks, while the shared weight chain — the
+    traffic that made the XLA replay 10-53× slower — stays VMEM-resident
+    across the WHOLE grid (one HBM read per call, not per block). The
+    VMEM budget therefore gates the BLOCK size, not the session count:
+    capacity is unbounded (round-4 extension; VERDICT r3 next-round #7).
+    ``None`` → one block holding all sessions (the original geometry).
     """
     K, S, factor, D = blocks.shape
     n_sec = sos.shape[0]
@@ -848,13 +866,17 @@ def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
     n_classes = shared[-1].shape[1]
     n_layers = (len(shared) - 1) // 2
 
-    # Pad the session axis to Mosaic's sublane tile (8): the (S, 1) output
-    # blocks and every (S, ·) sublane slice require S % 8 == 0. Padded rows
-    # carry zero affines/masks and are sliced off below.
+    # Pad the session axis to a whole number of session blocks, each a
+    # multiple of Mosaic's sublane tile (8): the (Sb, 1) output blocks and
+    # every (Sb, ·) sublane slice require Sb % 8 == 0. Padded rows carry
+    # zero affines/masks and are sliced off below.
     S_in = S
-    Sp = ceil_to_sublane(S)
-    if Sp != S:
-        pad = Sp - S
+    Sb = ceil_to_sublane(S if session_block is None
+                         else min(session_block, S))
+    n_blocks = -(-S // Sb)
+    S_tot = n_blocks * Sb
+    if S_tot != S:
+        pad = S_tot - S
         blocks = jnp.pad(blocks, ((0, 0), (0, pad), (0, 0), (0, 0)))
         iir_state = jnp.pad(iir_state, ((0, pad),) + ((0, 0),) * 3)
         tail = jnp.pad(tail, ((0, pad), (0, 0), (0, 0)))
@@ -862,100 +884,136 @@ def fused_tick_chain_batched(iir_state, tail, votes, n_seen, blocks,
         n_seen = jnp.pad(jnp.asarray(n_seen), ((0, pad),))
         subset_masks = jnp.pad(subset_masks, ((0, pad), (0, 0)))
         affines = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in affines)
-        S = Sp
+        S = S_tot
+    J = n_blocks
 
-    # kernel row layouts: time/section-major, session-minor (every slice a
-    # kernel touches is then a contiguous (S, ·) sublane block)
-    blocks_k = blocks.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
-        K, factor * S, D
+    # kernel row layouts, per session block: time/section-major,
+    # session-minor (every slice the kernel touches is then a contiguous
+    # (Sb, ·) sublane block of its j-th leading-axis slab)
+    blocks_k = (
+        blocks.astype(jnp.float32)
+        .reshape(K, J, Sb, factor, D)
+        .transpose(1, 0, 3, 2, 4)
+        .reshape(J, K, factor * Sb, D)
     )
-    iir_k = iir_state.astype(jnp.float32).transpose(1, 2, 0, 3).reshape(
-        n_sec * 2 * S, D
+    iir_k = (
+        iir_state.astype(jnp.float32)
+        .reshape(J, Sb, n_sec, 2, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(J, n_sec * 2 * Sb, D)
     )
-    tail_k = tail.astype(jnp.float32).transpose(1, 0, 2).reshape(
-        tail_rows * S, D
+    tail_k = (
+        tail.astype(jnp.float32)
+        .reshape(J, Sb, tail_rows, D)
+        .transpose(0, 2, 1, 3)
+        .reshape(J, tail_rows * Sb, D)
     )
     # vote ids → one-hot rows, oldest first; warm-up slots (t < W - n_seen)
     # become all-zero rows
     t_idx = jnp.arange(W)[:, None]                        # (W, 1)
     seen = t_idx >= (W - n_seen)[None, :]                 # (W, S)
     oh_k = (
-        jax.nn.one_hot(votes.T, n_classes, dtype=jnp.float32)
-        * seen[:, :, None]
-    ).reshape(W * S, n_classes)
+        (jax.nn.one_hot(votes.T, n_classes, dtype=jnp.float32)
+         * seen[:, :, None])                              # (W, S, C)
+        .reshape(W, J, Sb, n_classes)
+        .transpose(1, 0, 2, 3)
+        .reshape(J, W * Sb, n_classes)
+    )
+    masks_k = subset_masks.astype(jnp.float32).reshape(J, Sb, n_classes)
+    affines_k = tuple(a.reshape(J, Sb, -1) for a in affines)
 
+    # per-session-block inputs: block j resident while its ticks run
+    sess = lambda a: pl.BlockSpec(
+        (1,) + a.shape[1:], lambda j, i, _nd=a.ndim - 1: (j,) + (0,) * _nd,
+        memory_space=pltpu.VMEM,
+    )
+    # grid-constant inputs (weights): ONE block for the whole grid
     const = lambda a: pl.BlockSpec(
-        a.shape, lambda i, _nd=a.ndim: (0,) * _nd, memory_space=pltpu.VMEM
+        a.shape, lambda j, i, _nd=a.ndim: (0,) * _nd, memory_space=pltpu.VMEM
     )
     ins = [
         blocks_k,
         iir_k,
         tail_k,
         oh_k,
-        subset_masks.reshape(S, n_classes).astype(jnp.float32),
+        masks_k,
         jnp.asarray(sos, jnp.float32),
         mean.reshape(1, D).astype(jnp.float32),
         std.reshape(1, D).astype(jnp.float32),
-        *affines,
+        *affines_k,
         *shared,
     ]
     in_specs = [
-        pl.BlockSpec((1, factor * S, D), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, factor * Sb, D), lambda j, i: (j, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        const(iir_k), const(tail_k), const(oh_k), const(ins[4]),
+        sess(iir_k), sess(tail_k), sess(oh_k), sess(masks_k),
         pl.BlockSpec(memory_space=pltpu.SMEM),            # sos scalars
         const(ins[6]), const(ins[7]),
-        *[const(a) for a in affines],
+        *[sess(a) for a in affines_k],
         *[const(a) for a in shared],
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((K * S, 1), jnp.int32),      # per-tick preds
-        jax.ShapeDtypeStruct((K * S, 1), jnp.int32),      # per-tick votes
-        jax.ShapeDtypeStruct((n_sec * 2 * S, D), jnp.float32),
-        jax.ShapeDtypeStruct((tail_rows * S, D), jnp.float32),
-        jax.ShapeDtypeStruct((W * S, n_classes), jnp.float32),
+        jax.ShapeDtypeStruct((J, K * Sb, 1), jnp.int32),  # per-tick preds
+        jax.ShapeDtypeStruct((J, K * Sb, 1), jnp.int32),  # per-tick votes
+        jax.ShapeDtypeStruct((J, n_sec * 2 * Sb, D), jnp.float32),
+        jax.ShapeDtypeStruct((J, tail_rows * Sb, D), jnp.float32),
+        jax.ShapeDtypeStruct((J, W * Sb, n_classes), jnp.float32),
     ]
-    const2 = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    sess_out = lambda rows, cols: pl.BlockSpec(
+        (1, rows, cols), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM
     )
     out_specs = [
-        pl.BlockSpec((S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((S, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        const2((n_sec * 2 * S, D)),
-        const2((tail_rows * S, D)),
-        const2((W * S, n_classes)),
+        pl.BlockSpec((1, Sb, 1), lambda j, i: (j, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sb, 1), lambda j, i: (j, i, 0),
+                     memory_space=pltpu.VMEM),
+        sess_out(n_sec * 2 * Sb, D),
+        sess_out(tail_rows * Sb, D),
+        sess_out(W * Sb, n_classes),
     ]
     kernel = functools.partial(
         _batched_tick_chain_kernel, n_sec=n_sec, factor=factor,
         rms_window=rms_window, vote_window=W, n_layers=n_layers,
-        n_sessions=S, n_ticks=K,
+        n_sessions=Sb, n_ticks=K,
     )
     preds, votes_out, iir_f, tail_f, oh_f = pl.pallas_call(
         kernel,
-        grid=(K,),
+        grid=(J, K),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_sec * 2 * S, D), jnp.float32),  # IIR registers
-            pltpu.VMEM((factor * S, D), jnp.float32),     # filtered block
-            pltpu.VMEM(((tail_rows + factor) * S, D), jnp.float32),
-            pltpu.VMEM((tail_rows * S, D), jnp.float32),  # RMS tail
-            pltpu.VMEM((W * S, n_classes), jnp.float32),  # one-hot votes
+            pltpu.VMEM((n_sec * 2 * Sb, D), jnp.float32),  # IIR registers
+            pltpu.VMEM((factor * Sb, D), jnp.float32),     # filtered block
+            pltpu.VMEM(((tail_rows + factor) * Sb, D), jnp.float32),
+            pltpu.VMEM((tail_rows * Sb, D), jnp.float32),  # RMS tail
+            pltpu.VMEM((W * Sb, n_classes), jnp.float32),  # one-hot votes
         ],
         interpret=interpret,
     )(*ins)
 
     # kernel layouts → engine layouts (slicing off any session padding)
-    iir_out = iir_f.reshape(n_sec, 2, S, D).transpose(2, 0, 1, 3)[:S_in]
-    tail_out = tail_f.reshape(tail_rows, S, D).transpose(1, 0, 2)[:S_in]
-    votes_win = jnp.argmax(
-        oh_f.reshape(W, S, n_classes), axis=-1
-    ).astype(jnp.int32).T[:S_in]                           # (S, W)
+    iir_out = (
+        iir_f.reshape(J, n_sec, 2, Sb, D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(S, n_sec, 2, D)[:S_in]
+    )
+    tail_out = (
+        tail_f.reshape(J, tail_rows, Sb, D)
+        .transpose(0, 2, 1, 3)
+        .reshape(S, tail_rows, D)[:S_in]
+    )
+    votes_win = (
+        jnp.argmax(oh_f.reshape(J, W, Sb, n_classes), axis=-1)
+        .astype(jnp.int32)
+        .transpose(0, 2, 1)
+        .reshape(S, W)[:S_in]
+    )
     n_seen_out = jnp.minimum(n_seen[:S_in] + K, W).astype(jnp.int32)
     carry = (iir_out, tail_out, votes_win, n_seen_out)
-    return (carry, preds.reshape(K, S)[:, :S_in],
-            votes_out.reshape(K, S)[:, :S_in])
+    preds_ks = preds.reshape(J, K, Sb).transpose(1, 0, 2).reshape(K, S)
+    votes_ks = votes_out.reshape(J, K, Sb).transpose(1, 0, 2).reshape(K, S)
+    return (carry, preds_ks[:, :S_in], votes_ks[:, :S_in])
 
 
 def fused_contrastive_reference(e, g):

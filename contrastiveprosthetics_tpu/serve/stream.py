@@ -428,15 +428,16 @@ class BatchedStreamingEngine:
         ONE batched Pallas kernel (ops/pallas_ops.py §4) — the shared
         BN-free weight chain streams HBM→VMEM once per recording and each
         session applies its own calibrated BN statistics as per-session
-        affine vectors. Under ``mesh=`` the kernel runs per chip via
+        affine vectors. The session axis is tiled into VMEM-gated blocks
+        inside the kernel (round 4), so there is no fused session limit:
+        the weight chain loads once per call no matter how many blocks
+        stream through. Under ``mesh=`` the kernel runs per chip via
         ``shard_map`` over ``dp`` (sessions are independent — zero
-        collectives), each chip fusing its own session shard; the VMEM
-        budget then applies per shard, so fused capacity scales linearly
-        with chips. None → ON when on TPU and the per-shard geometry
-        fits the VMEM budget (recorded v5e A/B 2026-08-18: 0.004-0.020
-        vs 0.19-0.23 ms/tick at 64 sessions — 10-53×); otherwise the
-        vmapped XLA chain. Per-tick :meth:`step` stays on the vmapped
-        XLA tick either way."""
+        collectives), each chip fusing its own session shard with the
+        block gated per shard. None → ON when on TPU (recorded v5e A/B
+        2026-08-18 geometry: 0.004-0.020 vs 0.19-0.23 ms/tick at 64
+        sessions — 10-53×); on CPU the vmapped XLA chain. Per-tick
+        :meth:`step` stays on the vmapped XLA tick either way."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
@@ -493,12 +494,14 @@ class BatchedStreamingEngine:
                     dtype=getattr(model, "dtype", jnp.float32),
                 )
             ))
-            # everything the §4 kernel holds resident must fit VMEM
-            # (~16 MB/core): shared chain + per-session affines + the
-            # full per-session buffer census below. Checked BEFORE the
-            # (S, width) affines are materialized, so an over-budget S
-            # costs nothing; fail loudly here instead of cryptically at
-            # Mosaic compile time.
+            # VMEM gate (~16 MB/core) — round 4: the §4 kernel tiles the
+            # session axis into blocks (grid = (blocks, ticks)), so the
+            # budget bounds the session BLOCK size, not the session count:
+            # the shared weight chain stays VMEM-resident across the whole
+            # grid (one HBM read per call) while each block's carry
+            # streams through scratch. Solve for the largest sublane-
+            # aligned block whose per-block footprint fits; only a weight
+            # chain that alone busts the budget still disables the kernel.
             from contrastiveprosthetics_tpu.ops.pallas_ops import (
                 ceil_to_sublane,
             )
@@ -507,31 +510,31 @@ class BatchedStreamingEngine:
             # (shard_map over dp), so the budget applies to the SHARD
             n_local = (n_sessions // mesh.shape["dp"]
                        if mesh is not None else n_sessions)
-            S, D = ceil_to_sublane(n_local), cfg.emg_dim
+            D = cfg.emg_dim
             W, C = cfg.prediction_window_size, self._single._class_emb.shape[0]
             n_sec = self._single._sos.shape[0]
             tail_rows = cfg.rms_window - 1
-            # every S-scaled buffer the pallas_call keeps in VMEM: the
-            # carry triples (scratch + const input + final output) for
-            # IIR/tail/one-hot, the filt/win scratch, the double-buffered
-            # tick block, masks, and the pred/vote output blocks
-            resident_words = (
-                3 * n_sec * 2 * S * D            # IIR: scratch + in + out
-                + 3 * tail_rows * S * D          # RMS tail: scratch + in + out
-                + 3 * W * S * C                  # one-hot votes: scratch + in + out
-                + (2 * cfg.factor + tail_rows) * S * D   # filt + win scratch
-                + 2 * cfg.factor * S * D         # tick block, double-buffered
-                + S * C + 2 * S                  # masks + pred/vote blocks
-            )
             n_layers = (len(self._shared) - 1) // 2
-            affine_bytes = 8 * S * sum(
+            aff_width = sum(
                 self._shared[2 * j].shape[1] for j in range(n_layers - 1)
-            )  # (a, c) f32 vectors per non-head layer
-            est = (sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                       for a in self._shared)
-                   + affine_bytes + 4 * resident_words)
+            )
+            # per-session words resident per block: carry quintuples
+            # (double-buffered in + double-buffered out + scratch) for
+            # IIR/tail/one-hot, filt/win scratch, the double-buffered tick
+            # block + (a, c) affines + masks, and the pred/vote blocks
+            per_sess_words = (
+                5 * (n_sec * 2 * D + tail_rows * D + W * C)
+                + (3 * cfg.factor + tail_rows) * D
+                + 4 * aff_width + 2 * C + 4
+            )
+            shared_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                               for a in self._shared)
             budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
-            if est > budget and auto:
+            block_words = (budget - shared_bytes) // 4
+            sb_max = int(block_words // per_sess_words) // 8 * 8
+            self._session_block = min(max(sb_max, 0),
+                                      ceil_to_sublane(n_local))
+            if self._session_block == 0 and auto:
                 # auto geometry fallback — warn, don't hide it: the XLA
                 # chain is 10-50× slower per tick and the operator has no
                 # other signal that the fused path is not running
@@ -539,34 +542,31 @@ class BatchedStreamingEngine:
 
                 print(
                     "BatchedStreamingEngine: fused tick chain auto-disabled"
-                    f" — ~{est / 2**20:.1f} MB VMEM-resident state for "
-                    f"{n_local} sessions"
-                    + ("/chip" if mesh is not None else "")
-                    + f" exceeds the ~{budget / 2**20:.0f} MB budget; "
-                    "falling back to the vmapped XLA tick chain (slower "
-                    "per tick). Shard over more chips, reduce sessions, "
-                    "or use a bfloat16 model dtype to re-enable.",
+                    f" — the shared weight chain (~{shared_bytes / 2**20:.1f}"
+                    f" MB) leaves no room for even an 8-session block under"
+                    f" the ~{budget / 2**20:.0f} MB VMEM budget; falling "
+                    "back to the vmapped XLA tick chain (slower per tick). "
+                    "Use a bfloat16 model dtype (halves the weight chain) "
+                    "to re-enable.",
                     file=sys.stderr,
                 )
                 self._use_fused = False
                 self._shared = ()
-            elif est > budget:
+            elif self._session_block == 0:
                 raise ValueError(
-                    f"batched fused tick chain needs ~{est / 2**20:.1f} MB "
-                    f"VMEM-resident state for {n_local} sessions"
-                    + ("/chip" if mesh is not None else "")
-                    + f" (budget ~{budget / 2**20:.0f} MB): reduce "
-                    "sessions, shard over more chips (mesh=), use a "
-                    "bfloat16 model dtype (halves the weight chain), or "
-                    "drop use_fused_encoder (the vmapped XLA tick has no "
-                    "session limit)"
+                    f"batched fused tick chain: the shared weight chain "
+                    f"(~{shared_bytes / 2**20:.1f} MB) leaves no room for "
+                    f"even an 8-session block under the ~{budget / 2**20:.0f}"
+                    " MB VMEM budget: use a bfloat16 model dtype (halves "
+                    "the weight chain) or drop use_fused_encoder (the "
+                    "vmapped XLA tick has no session limit)"
                 )
         if self._use_fused:
             self._refresh_affines()
             if mesh is None:
                 self._chain_b_jit = jax.jit(
                     fused_tick_chain_batched,
-                    static_argnums=(11,),
+                    static_argnums=(11, 12),
                     donate_argnums=(0, 1, 2, 3),
                 )
             else:
@@ -637,7 +637,7 @@ class BatchedStreamingEngine:
                   shared, affines):
             return fused_tick_chain_batched(
                 iir, tail, votes, n_seen, blocks, masks, sos, mean, std,
-                shared, affines, interpret,
+                shared, affines, interpret, self._session_block,
             )
 
         return jax.jit(
@@ -780,7 +780,8 @@ class BatchedStreamingEngine:
             )
             (iir, tail, votes, n_seen), preds, vote_preds = (
                 self._chain_b_jit(*args) if self._mesh is not None
-                else self._chain_b_jit(*args, not on_tpu())
+                else self._chain_b_jit(*args, not on_tpu(),
+                                       self._session_block)
             )
             return (StreamCarry(iir, tail, votes, n_seen), preds,
                     vote_preds)

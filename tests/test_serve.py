@@ -415,13 +415,42 @@ def test_batched_fused_bf16_fold_produces_valid_votes(rng):
     assert set(preds[:, 1]) | set(votes[:, 1]) <= {7, 20, 33}
 
 
-def test_batched_fused_rejects_vmem_overflow():
-    """The §4 kernel holds weights + per-session affines + scratch VMEM-
-    resident; geometries that cannot fit must fail loudly at init with
-    actionable advice, not at Mosaic compile time."""
+def test_batched_fused_session_blocking_engages():
+    """Round 4: the §4 kernel tiles the session axis, so a session count
+    that used to bust the VMEM budget (512 full-width f32 sessions was the
+    round-3 overflow fixture) now initializes FUSED with a VMEM-gated
+    session block smaller than the session count."""
     from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
 
     model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    eng = BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=512,
+        use_fused_encoder=True,
+    )
+    assert eng._use_fused is True
+    assert 8 <= eng._session_block < 512
+    assert eng._session_block % 8 == 0
+
+
+def test_batched_fused_rejects_vmem_overflow():
+    """Session blocking cannot shrink the SHARED weight chain: a model
+    whose chain alone busts the VMEM budget must still fail loudly at
+    init with actionable advice, not at Mosaic compile time."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    # 7 dense blocks at hidden=1280 f32: ~6 MB/layer of weights ≫ budget
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks,
+                             hidden=1280)
     key = jax.random.PRNGKey(0)
     variables = model.init(
         {"params": key, "dropout": key},
@@ -434,9 +463,45 @@ def test_batched_fused_rejects_vmem_overflow():
             CFG, model, variables,
             emg_mean=np.zeros(12, np.float32),
             emg_std=np.ones(12, np.float32),
-            n_sessions=512,  # full width f32: ~36 MB resident — over budget
+            n_sessions=8,
             use_fused_encoder=True,
         )
+
+
+@pytest.mark.slow  # 3-block × 2-chunk interpret kernels + the XLA leg
+def test_batched_fused_multi_block_matches_xla(rng):
+    """The session-blocked grid (several session blocks streaming through
+    one pallas_call, carries re-seeded per block at tick 0) must be
+    invisible in the results: force a small block so S=20 spans three
+    blocks (with pad), and pin tick-for-tick equality against the vmapped
+    XLA chain — per-session masks, calibrated stats, threaded carry."""
+    S, K = 20, 9
+    eng, eng_f = _fresh_batched_pair(S)
+    eng_f._session_block = 8  # 3 blocks of 8 (pad rows in the last)
+    calib = (rng.standard_normal((1500, 12)) * 3 + 1).astype(np.float32)
+    eng.calibrate_session(13, calib)
+    eng_f.calibrate_session(13, calib)
+    masks = np.ones((S, CFG.max_tasks), bool)
+    masks[9, 20:] = False
+    blocks = (rng.standard_normal((K, S, CFG.factor, 12)) * 2.0).astype(
+        np.float32
+    )
+    c_x, c_f = eng.init_carries(), eng_f.init_carries()
+    for chunk in (blocks[:4], blocks[4:]):  # two chunks: pins the carry
+        c_x, p_x, v_x = eng.steps(c_x, chunk, masks)
+        c_f, p_f, v_f = eng_f.steps(c_f, chunk, masks)
+        np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_x))
+        np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_x))
+    np.testing.assert_allclose(
+        np.asarray(c_f.iir_state), np.asarray(c_x.iir_state),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_f.votes), np.asarray(c_x.votes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_f.n_seen), np.asarray(c_x.n_seen)
+    )
 
 
 def test_batched_fused_chain_shards_over_mesh(rng):
@@ -485,9 +550,12 @@ def test_batched_fused_chain_shards_over_mesh(rng):
 
 
 def test_batched_fused_mesh_gate_is_per_shard():
-    """The VMEM gate under a mesh applies to the per-chip session shard:
-    a session count whose SHARD fits must initialize fused even when the
-    global count would not fit one chip."""
+    """The session-block gate under a mesh applies to the per-chip
+    session SHARD: the computed block never exceeds a shard, and any
+    session count initializes fused (blocking streams the shard through
+    VMEM) — only a weight chain that alone busts the budget disables the
+    kernel, mesh or not."""
+    from contrastiveprosthetics_tpu.ops.pallas_ops import ceil_to_sublane
     from contrastiveprosthetics_tpu.parallel.mesh import make_mesh
     from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
 
@@ -508,13 +576,15 @@ def test_batched_fused_mesh_gate_is_per_shard():
         emg_std=np.ones(12, np.float32),
         n_sessions=S, mesh=mesh, use_fused_encoder=True,
     )
-    # a small per-shard count initializes fused on the mesh...
-    assert mk(8 * n_dev, mesh)._use_fused is True
-    # ...while an over-budget PER-SHARD count raises (65536/chip is the
-    # same geometry the single-chip gate rejects in the auto test), and
-    # the message names the per-chip count
-    with pytest.raises(ValueError, match="sessions/chip"):
-        mk(65536 * n_dev, mesh)
+    # a small per-shard count initializes fused with one whole-shard block
+    small = mk(8 * n_dev, mesh)
+    assert small._use_fused is True
+    assert small._session_block == 8
+    # a count that used to be rejected per shard now engages blocking,
+    # with the block gated by the SHARD (≤ per-chip sessions, ≥ 8)
+    big = mk(2048 * n_dev, mesh)
+    assert big._use_fused is True
+    assert 8 <= big._session_block <= ceil_to_sublane(2048)
 
 
 def test_fused_chain_matches_xla_steps_with_mask_and_carry(rng):
@@ -588,13 +658,33 @@ def test_fused_default_auto_resolution(monkeypatch, capsys):
     assert eng_b._use_fused is True
     assert eng_b._single._use_fused is False  # inner tick stays XLA
 
-    # over-budget geometry: auto falls back (warning names the MB estimate
-    # and the per-shard session count), explicit still raises
-    # (narrow net → need a huge S to blow the 14 MB estimate)
+    # round 4: huge session counts no longer fall back — the session-block
+    # grid streams them through a VMEM-gated block (capacity unbounded)
+    eng_huge = mkb(65536)
+    assert eng_huge._use_fused is True
+    assert 8 <= eng_huge._session_block < 65536
+
+    # the ONLY remaining fallback: a weight chain that alone busts the
+    # budget — auto warns (a 10-50× perf cliff must be visible to the
+    # operator), explicit still raises
+    wide = ContrastiveModel(
+        d_e=16, adabn=False, n_classes=CFG.max_tasks, hidden=1280
+    )
+    wvars = wide.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    mkw = lambda **kw: BatchedStreamingEngine(
+        CFG, wide, wvars,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=8, **kw,
+    )
     capsys.readouterr()  # drop anything earlier
-    assert mkb(65536)._use_fused is False
+    assert mkw()._use_fused is False
     err = capsys.readouterr().err
-    assert "auto-disabled" in err and "65536 sessions" in err
-    assert "MB" in err
+    assert "auto-disabled" in err and "MB" in err
     with pytest.raises(ValueError, match="VMEM"):
-        mkb(65536, use_fused_encoder=True)
+        mkw(use_fused_encoder=True)
