@@ -52,7 +52,12 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_WPS = 7380.0
-PHASES = ("serve", "sweep", "train", "train_peak", "eval")
+# Ordering rule (VERDICT r3 weak #1): the CONTRACT metric
+# (train_windows_per_sec) must be recorded first — the round-3 driver
+# bench timed out inside the serve capacity probes, which then ran FIRST,
+# and left no train/sweep/eval record at all (BENCH_r03.json rc=124,
+# parsed=null). serve, with its open-ended capacity probes, runs LAST.
+PHASES = ("train", "train_peak", "sweep", "eval", "serve")
 
 
 def _setup():
@@ -310,11 +315,11 @@ def phase_serve() -> dict:
         tick_ms = us_head / 1e3
         out["serve_multi_tick_device_ms"] = round(tick_ms, 3)
         # the sessions/chip floor extrapolates linearly from S=64, so it
-        # must come from the XLA chain (valid at any S; per-session cost
-        # FALLS with S — 3.7 µs at 64 → 0.2 µs at 4096; the capacity
-        # study measured a 32,768-session tick at 8.2 ms). The fused
-        # chain is faster but VMEM-capped at ~80 f32 sessions, so its
-        # slope must NOT be extrapolated across the fallback boundary.
+        # comes from the XLA chain (valid at any S; per-session cost
+        # FALLS with S — 3.7 µs at 64 → 0.2 µs at 4096). It is a FLOOR
+        # only: the capacity probe below measures both legs directly at
+        # large S (the §4 session-block axis removed the fused VMEM cap
+        # in round 4), and the capacity headline quotes the winner.
         if us is not None:
             out["serve_sessions_per_chip_floor"] = int(S * 10.0 / (us / 1e3))
         floor_txt = (
@@ -337,56 +342,70 @@ def phase_serve() -> dict:
               file=sys.stderr)
 
     # capacity probe at scale: large-S tick chains, marginal-timed — the
-    # per-session cost the capacity claim rests on. The FULL measured
-    # curve is recorded (VERDICT r2 task 2a: every README/SCALING capacity
-    # number must exist in this JSON); serve_capacity_sessions = the
-    # largest measured S within the 10 ms tick budget.
-    # 65,536 closes the curve from above: 32,768 measured ~8 ms (round 3),
-    # so the next doubling is expected OVER the 10 ms budget — recording it
-    # turns "32k fits" into a bracketed ceiling instead of an open end.
-    out["serve_capacity_curve_ms"] = {}
+    # per-session cost the capacity claim rests on, as a fused-vs-XLA A/B
+    # per S (round 4: the §4 kernel's session-block grid axis removed its
+    # VMEM session cap, so the fused chain is measurable at ANY S —
+    # VERDICT r3 next-round #7). The FULL measured curve is recorded per
+    # leg; the headline (serve_capacity_sessions / _tick_ms / _leg) is the
+    # largest S whose BEST leg fits the 10 ms tick budget.
+    # 65,536 closes the XLA curve from above: 32,768 measured ~8 ms
+    # (round 3), so the next doubling brackets the XLA ceiling.
+    out["serve_capacity_curve_ms"] = {"xla": {}, "fused": {}}
     largest_ok = None
-    for S_big in (16384, 32768, 65536):
-        try:
-            big = BatchedStreamingEngine(
-                cfg, model, variables,
-                emg_mean=np.zeros(cfg.emg_dim, np.float32),
-                emg_std=np.ones(cfg.emg_dim, np.float32),
-                n_sessions=S_big,
-                use_fused_encoder=False,  # capacity = the XLA chain
+    for S_big in (1024, 4096, 16384, 32768, 65536):
+        best_leg = None
+        blocks_big = rng.standard_normal(
+            (S_big, cfg.factor, cfg.emg_dim)
+        ).astype(np.float32)
+        for leg, fused in (("xla", False), ("fused", True)):
+            try:
+                big = BatchedStreamingEngine(
+                    cfg, model, variables,
+                    emg_mean=np.zeros(cfg.emg_dim, np.float32),
+                    emg_std=np.ones(cfg.emg_dim, np.float32),
+                    n_sessions=S_big,
+                    use_fused_encoder=fused,
+                )
+                tb = {}
+                for trial in range(3):
+                    for K in (3, 10):
+                        t = chain_once(big, blocks_big, K)
+                        tb[("big", K)] = min(
+                            tb.get(("big", K), float("inf")), t
+                        )
+                us = slope_us(tb, "big", 3, 10)
+                del big
+            except Exception as e:  # OOM / compile failure: record it
+                out["serve_capacity_curve_ms"][leg][str(S_big)] = (
+                    f"error: {e}"[:160]
+                )
+                print(f"serve: capacity probe {leg} {S_big:,} failed: {e}",
+                      file=sys.stderr)
+                continue
+            if us is None:
+                out["serve_capacity_curve_ms"][leg][str(S_big)] = None
+                continue
+            tick_big_ms = us / 1e3
+            out["serve_capacity_curve_ms"][leg][str(S_big)] = round(
+                tick_big_ms, 3
             )
-            blocks_big = rng.standard_normal(
-                (S_big, cfg.factor, cfg.emg_dim)
-            ).astype(np.float32)
-            tb = {}
-            for trial in range(3):
-                for K in (3, 10):
-                    t = chain_once(big, blocks_big, K)
-                    tb[("big", K)] = min(tb.get(("big", K), float("inf")), t)
-            us = slope_us(tb, "big", 3, 10)
-            del big, blocks_big
-        except Exception as e:  # OOM / compile failure at this S: record it
-            out["serve_capacity_curve_ms"][str(S_big)] = f"error: {e}"[:160]
-            print(f"serve: capacity probe {S_big:,} failed: {e}",
-                  file=sys.stderr)
-            break
-        if us is None:
-            out["serve_capacity_curve_ms"][str(S_big)] = None
-            continue
-        tick_big_ms = us / 1e3
-        out["serve_capacity_curve_ms"][str(S_big)] = round(tick_big_ms, 3)
-        if tick_big_ms <= 10.0:
-            largest_ok = (S_big, tick_big_ms)
-        print(
-            f"serve: capacity probe — {S_big:,} sessions tick in "
-            f"{tick_big_ms:.2f} ms marginal "
-            f"({tick_big_ms / S_big * 1e3:.2f} µs/session; "
-            f"{'within' if tick_big_ms <= 10 else 'OVER'} the 10 ms budget)",
-            file=sys.stderr,
-        )
+            if best_leg is None or tick_big_ms < best_leg[1]:
+                best_leg = (leg, tick_big_ms)
+            print(
+                f"serve: capacity probe [{leg}] — {S_big:,} sessions tick "
+                f"in {tick_big_ms:.2f} ms marginal "
+                f"({tick_big_ms / S_big * 1e3:.2f} µs/session; "
+                f"{'within' if tick_big_ms <= 10 else 'OVER'} the 10 ms "
+                "budget)",
+                file=sys.stderr,
+            )
+        del blocks_big
+        if best_leg is not None and best_leg[1] <= 10.0:
+            largest_ok = (S_big, best_leg[1], best_leg[0])
     if largest_ok is not None:
         out["serve_capacity_sessions"] = largest_ok[0]
         out["serve_capacity_tick_ms"] = largest_ok[1]
+        out["serve_capacity_leg"] = largest_ok[2]
         out["serve_capacity_in_budget"] = True
     else:
         out["serve_capacity_error"] = "no measured S within the 10 ms budget"
@@ -764,7 +783,19 @@ def phase_eval() -> dict:
     rtt = _null_rtt_ms(jax)
     print(f"eval: null dispatch+readback RTT p50 {rtt:.2f} ms "
           f"(dispatch-regime marker)", file=sys.stderr)
+    # Named-regime pin (VERDICT r3 weak #4): the recorded cross-run
+    # bimodality clusters at 11.6-14.4 M (degraded, after large-program
+    # server histories) vs 20.5-22.4 M windows/s (fast) with nothing
+    # observed between — classify THIS run so every artifact carries its
+    # regime and headlines quote "number @ regime", never a 2× range.
+    # (The server outlives client processes; the regime is stamped, not
+    # controlled.) Threshold: midpoint of the recorded cluster gap.
+    regime = "fast" if eval_wps > 17e6 else "degraded"
+    print(f"eval: dispatch regime classified {regime} "
+          f"(recorded clusters 11.6-14.4 M vs 20.5-22.4 M)",
+          file=sys.stderr)
     return {"eval_windows_per_sec": round(eval_wps, 1),
+            "eval_dispatch_regime": regime,
             "eval_rtt_null_p50_ms": round(rtt, 2),
             "eval_headline_stat": f"median of {n_trials}x{reps}-pass trials",
             "eval_peak_windows_per_sec": (round(eval_peak, 1)
@@ -858,12 +889,18 @@ def main():
         print(json.dumps(result))
         return
 
+    t_start = time.monotonic()
+    # Total wall-clock budget: when exceeded, remaining phases are skipped
+    # (marked skipped_for_budget) and the merged record prints immediately,
+    # so an outer `timeout N python bench.py` with N > budget always gets
+    # the complete contract line instead of SIGKILLing us mid-phase.
+    budget_s = float(os.environ.get("CPTPU_BENCH_BUDGET_S", 2700))
     merged = {}
     wait_s = int(os.environ.get("CPTPU_BENCH_BACKEND_WAIT_S", 1500))
     if not _wait_for_backend(wait_s):
         # Emit the contract line fast and honestly instead of hanging
         # 5 phases × 2 × 3600 s on a dead tunnel. Self-recorded numbers
-        # from the last good run live in BENCH_SELF_r02.json.
+        # from the last good run live in BENCH_SELF files.
         print(json.dumps({
             "metric": "semg_train_windows_per_sec_per_chip",
             "value": 0.0,
@@ -871,12 +908,36 @@ def main():
             "vs_baseline": 0.0,
             "bench_error": f"jax backend unavailable after {wait_s} s of "
                            "probing (axon tunnel down); last good "
-                           "self-recorded run: BENCH_SELF_r02.json",
+                           "self-recorded run: BENCH_SELF_r03.json",
         }))
         return
-    for phase in PHASES:
+    for i, phase in enumerate(PHASES):
+        elapsed = time.monotonic() - t_start
+        if elapsed > budget_s:
+            merged["skipped_for_budget"] = list(PHASES[i:])
+            print(f"bench: wall-clock budget {budget_s:.0f} s exhausted "
+                  f"({elapsed:.0f} s); skipping {PHASES[i:]}",
+                  file=sys.stderr)
+            break
         merged.update(_run_phase_subprocess(phase))
+        # Partial-record discipline: after EVERY phase, print the full
+        # merged-so-far contract line (flushed). A driver that kills this
+        # process mid-run still finds a parseable record with whatever
+        # phases completed — the last stdout line is always the most
+        # complete one (BENCH_r03.json was voided for lack of exactly
+        # this). The final line below is the complete record.
+        if i < len(PHASES) - 1:
+            partial = _contract_record(merged)
+            partial["partial"] = True
+            partial["phases_done"] = list(PHASES[:i + 1])
+            print(json.dumps(partial), flush=True)
 
+    print(json.dumps(_contract_record(merged)))
+
+
+def _contract_record(merged: dict) -> dict:
+    """The contract JSON: headline metric + all derived MFU/roofline/baseline
+    rows computable from whatever phases have completed so far."""
     train_wps = merged.get("train_windows_per_sec", 0.0)
     out = {
         "metric": "semg_train_windows_per_sec_per_chip",
@@ -975,7 +1036,7 @@ def main():
             )
     except (FileNotFoundError, KeyError, json.JSONDecodeError):
         pass
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
