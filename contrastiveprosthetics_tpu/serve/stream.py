@@ -414,6 +414,7 @@ class BatchedStreamingEngine:
         glove_prototypes: Optional[np.ndarray] = None,
         mesh=None,
         use_fused_encoder: Optional[bool] = None,
+        session_block: Optional[int] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the
         session axis is then sharded over it: each chip serves its own
@@ -437,7 +438,16 @@ class BatchedStreamingEngine:
         block gated per shard. None → ON when on TPU (recorded v5e A/B
         2026-08-18 geometry: 0.004-0.020 vs 0.19-0.23 ms/tick at 64
         sessions — 10-53×); on CPU the vmapped XLA chain. Per-tick
-        :meth:`step` stays on the vmapped XLA tick either way."""
+        :meth:`step` stays on the vmapped XLA tick either way.
+
+        ``session_block``: rows per §4 session block (None → the largest
+        sublane-aligned block the calibrated VMEM census admits). The
+        census is deliberately conservative; the measured S=32768
+        optimum for the reference-width f32 model on v5e is 64
+        (6.08 ms/tick vs 8.4-9.3 at 48/32; 72 overflows Mosaic's 16 MB
+        scoped-vmem stack — scan recorded in docs/SCALING.md). An
+        explicit over-budget block fails at Mosaic compile time, not
+        here."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
@@ -518,22 +528,31 @@ class BatchedStreamingEngine:
             aff_width = sum(
                 self._shared[2 * j].shape[1] for j in range(n_layers - 1)
             )
-            # per-session words resident per block: carry quintuples
-            # (double-buffered in + double-buffered out + scratch) for
-            # IIR/tail/one-hot, filt/win scratch, the double-buffered tick
-            # block + (a, c) affines + masks, and the pred/vote blocks
+            # per-session words resident per block, calibrated against a
+            # Mosaic scoped-vmem OOM dump (round 4, S=32768: Sb=64 fits,
+            # Sb=72 overflows 16.00 MB by 140 KB): session-state blocks
+            # are indexed by the OUTER (block) grid axis, so Mosaic does
+            # NOT double-buffer them across ticks — carries cost in+out+
+            # scratch (×3), affines ride ×4 (pair + margin), and only the
+            # tick-indexed input block is double-buffered
             per_sess_words = (
-                5 * (n_sec * 2 * D + tail_rows * D + W * C)
+                3 * (n_sec * 2 * D + tail_rows * D + W * C)
                 + (3 * cfg.factor + tail_rows) * D
                 + 4 * aff_width + 2 * C + 4
             )
             shared_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                                for a in self._shared)
-            budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
+            # Mosaic's scoped-vmem stack limit is 16.00 MB; 0.5 MB headroom
+            budget = (31 << 19)  # 15.5 MB
             block_words = (budget - shared_bytes) // 4
             sb_max = int(block_words // per_sess_words) // 8 * 8
             self._session_block = min(max(sb_max, 0),
                                       ceil_to_sublane(n_local))
+            if session_block is not None:
+                # explicit expert override: trust it up to the shard size
+                # (an over-budget choice fails loudly at Mosaic compile)
+                self._session_block = min(ceil_to_sublane(session_block),
+                                          ceil_to_sublane(n_local))
             if self._session_block == 0 and auto:
                 # auto geometry fallback — warn, don't hide it: the XLA
                 # chain is 10-50× slower per tick and the operator has no
