@@ -441,13 +441,14 @@ class BatchedStreamingEngine:
         :meth:`step` stays on the vmapped XLA tick either way.
 
         ``session_block``: rows per §4 session block (None → the largest
-        sublane-aligned block the calibrated VMEM census admits). The
-        census is deliberately conservative; the measured S=32768
-        optimum for the reference-width f32 model on v5e is 64
-        (6.08 ms/tick vs 8.4-9.3 at 48/32; 72 overflows Mosaic's 16 MB
-        scoped-vmem stack — scan recorded in docs/SCALING.md). An
-        explicit over-budget block fails at Mosaic compile time, not
-        here."""
+        sublane-aligned block the worst-case VMEM census admits — safe at
+        ANY session count, because Mosaic's scoped-vmem need grows as the
+        block COUNT shrinks: round-4 OOM dumps show Sb=56 fitting at
+        J=586 blocks but overflowing at J=74). The measured S=32768
+        optima for the reference-width f32 model on v5e are 56 → 6.76
+        and 64 → 6.08 ms/tick (vs 8.56 at the auto 32); an explicit
+        over-budget choice fails at Mosaic compile time, not here. Scan
+        + guidance in docs/SCALING.md "Session-block tuning"."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
@@ -528,22 +529,28 @@ class BatchedStreamingEngine:
             aff_width = sum(
                 self._shared[2 * j].shape[1] for j in range(n_layers - 1)
             )
-            # per-session words resident per block, calibrated against a
-            # Mosaic scoped-vmem OOM dump (round 4, S=32768: Sb=64 fits,
-            # Sb=72 overflows 16.00 MB by 140 KB): session-state blocks
-            # are indexed by the OUTER (block) grid axis, so Mosaic does
-            # NOT double-buffer them across ticks — carries cost in+out+
-            # scratch (×3), affines ride ×4 (pair + margin), and only the
-            # tick-indexed input block is double-buffered
+            # per-session words resident per block: carry quintuples for
+            # IIR/tail/one-hot, filt/win scratch, the double-buffered tick
+            # block + (a, c) affines + masks, and the pred/vote blocks.
+            # The ×5 carry multiplier is the WORST case and deliberately
+            # so: Mosaic's scoped-vmem need varies with the session-block
+            # COUNT J, not just the block size (round-4 OOM dumps: Sb=56
+            # fits at J=586 but overflows 16.00 MB by 3.6 MB at J=74 and
+            # by 340 KB at J=293 — small-J grids get deeper cross-block
+            # prefetch windows), so auto must hold at every S. This
+            # census (block 32 at reference width) compiled and ran at
+            # every probed S ∈ {1024..65536}; larger measured-optimal
+            # blocks (56 → 6.76 ms, 64 → 6.08 ms at S=32768 vs 8.56 at
+            # 32) are opt-in via ``session_block`` — see the scan in
+            # docs/SCALING.md.
             per_sess_words = (
-                3 * (n_sec * 2 * D + tail_rows * D + W * C)
+                5 * (n_sec * 2 * D + tail_rows * D + W * C)
                 + (3 * cfg.factor + tail_rows) * D
                 + 4 * aff_width + 2 * C + 4
             )
             shared_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                                for a in self._shared)
-            # Mosaic's scoped-vmem stack limit is 16.00 MB; 0.5 MB headroom
-            budget = (31 << 19)  # 15.5 MB
+            budget = 14 << 20  # leave Mosaic headroom under ~16 MB VMEM
             block_words = (budget - shared_bytes) // 4
             sb_max = int(block_words // per_sess_words) // 8 * 8
             self._session_block = min(max(sb_max, 0),

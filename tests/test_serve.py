@@ -476,8 +476,9 @@ def test_batched_fused_multi_block_matches_xla(rng):
     blocks (with pad), and pin tick-for-tick equality against the vmapped
     XLA chain — per-session masks, calibrated stats, threaded carry."""
     S, K = 20, 9
-    eng, eng_f = _fresh_batched_pair(S)
-    eng_f._session_block = 8  # 3 blocks of 8 (pad rows in the last)
+    # session_block=8 → 3 blocks (pad rows in the last); passed through
+    # the constructor to cover the expert-override wiring
+    eng, eng_f = _fresh_batched_pair(S, session_block=8)
     calib = (rng.standard_normal((1500, 12)) * 3 + 1).astype(np.float32)
     eng.calibrate_session(13, calib)
     eng_f.calibrate_session(13, calib)
