@@ -59,6 +59,75 @@ REFERENCE_BASELINE_WPS = 7380.0
 # parsed=null). serve, with its open-ended capacity probes, runs LAST.
 PHASES = ("train", "train_peak", "sweep", "eval", "serve")
 
+# Each phase's headline estimator, named IN the record (VERDICT r4 task 6:
+# the train headline is a marginal slope over per-length minima and can
+# legitimately exceed every per-trial slope — 3.60 M vs trials [null,
+# 3.45M, 3.18M] in BENCH_SELF_r04 — so every *_windows_per_sec key must
+# carry a sibling *_headline_stat naming how it was computed).
+# _contract_record backfills these for any present wps key, so a phase
+# that forgets the label still ships a labeled record.
+HEADLINE_STATS = {
+    "train": "marginal slope (e_hi-e_lo) over per-length min of 3 "
+             "alternating trials; min-time composition can exceed every "
+             "per-trial slope",
+    "train_peak": "marginal slope over per-length min of 2 warm reps",
+    "crossval_sweep": "one steady-state 150-config run after one warm rep",
+    "eval": "median of 4x200-pass trials",
+    "eval_peak": "median of 4x200-pass trials at batch_size=D",
+}
+
+# ---- compact contract line (VERDICT r4 task 1) ------------------------
+# The round-4 driver record died with rc=0 because the full contract line
+# grew to ~4-5 KB and the driver keeps only the last 2,000 characters of
+# stdout — the head of the JSON (metric/value/train fields) fell out of
+# the window. Defense in depth: bench.py now ALWAYS ends (and follows
+# every partial print) with a compact line of just the contract
+# essentials, hard-capped at COMPACT_MAX_BYTES < any plausible capture
+# window, so the last complete stdout line is parseable standalone no
+# matter where the capture truncates. test_bench_contract.py pins the cap
+# against a real full-width record (BENCH_SELF_r04.json).
+COMPACT_MAX_BYTES = 1500
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline",
+    "train_windows_per_sec", "train_headline_stat",
+    "train_peak_windows_per_sec",
+    "mfu_train", "mfu_train_peak", "mfu_sweep", "mfu_eval",
+    "crossval_sweep_windows_per_sec",
+    "eval_windows_per_sec", "eval_dispatch_regime", "eval_attempts",
+    "serve_capacity_sessions", "serve_capacity_tick_ms",
+    "serve_capacity_in_budget",
+    "device_kind", "partial", "phases_done", "skipped_for_budget",
+    "bench_error",
+)
+_COMPACT_CORE = ("metric", "value", "unit", "vs_baseline")
+
+
+def _compact_record(full: dict) -> dict:
+    """Project a contract record onto the essential keys, capped at
+    COMPACT_MAX_BYTES of serialized JSON (error values truncated; if the
+    line still overflows, non-core keys drop from the end first)."""
+    out = {k: full[k] for k in _COMPACT_KEYS if k in full}
+    for k, v in full.items():
+        if k.endswith("_error") and k not in out:
+            out[k] = str(v)[:160]
+    while len(json.dumps(out).encode()) > COMPACT_MAX_BYTES:
+        droppable = [k for k in out if k not in _COMPACT_CORE]
+        if not droppable:
+            break
+        del out[droppable[-1]]
+    return out
+
+
+def _emit_record(merged: dict, phases_done: list | None = None) -> None:
+    """Print the full contract record, then the compact line LAST —
+    the final stdout line is always the compact one."""
+    full = _contract_record(merged)
+    if phases_done is not None:
+        full["partial"] = True
+        full["phases_done"] = phases_done
+    print(json.dumps(full), flush=True)
+    print(json.dumps(_compact_record(full)), flush=True)
+
 
 def _setup():
     """Per-phase process setup: cache + canonical store/trainer inputs."""
@@ -783,16 +852,20 @@ def phase_eval() -> dict:
     rtt = _null_rtt_ms(jax)
     print(f"eval: null dispatch+readback RTT p50 {rtt:.2f} ms "
           f"(dispatch-regime marker)", file=sys.stderr)
-    # Named-regime pin (VERDICT r3 weak #4): the recorded cross-run
-    # bimodality clusters at 11.6-14.4 M (degraded, after large-program
-    # server histories) vs 20.5-22.4 M windows/s (fast) with nothing
-    # observed between — classify THIS run so every artifact carries its
-    # regime and headlines quote "number @ regime", never a 2× range.
-    # (The server outlives client processes; the regime is stamped, not
-    # controlled.) Threshold: midpoint of the recorded cluster gap.
+    # Named-regime pin (VERDICT r3 weak #4): recorded cross-run readings
+    # cluster at 7.0-14.4 M (degraded, after large-program server
+    # histories; round 4 added a 7.0 M point BELOW the original
+    # 11.6-14.4 M cluster — the degraded band is wider than first
+    # modeled, possibly multi-modal itself) vs 20.5-22.4 M windows/s
+    # (fast), with nothing observed in the 14.4-20.5 M gap — classify
+    # THIS run so every artifact carries its regime and headlines quote
+    # "number @ regime", never a 3× range. (The server outlives client
+    # processes; the regime is stamped per attempt — and since round 5,
+    # degraded attempts are retried by _eval_with_retry rather than
+    # headlined.) Threshold: midpoint of the recorded cluster gap.
     regime = "fast" if eval_wps > 17e6 else "degraded"
     print(f"eval: dispatch regime classified {regime} "
-          f"(recorded clusters 11.6-14.4 M vs 20.5-22.4 M)",
+          f"(recorded clusters 7.0-14.4 M vs 20.5-22.4 M)",
           file=sys.stderr)
     return {"eval_windows_per_sec": round(eval_wps, 1),
             "eval_dispatch_regime": regime,
@@ -901,15 +974,17 @@ def main():
         # Emit the contract line fast and honestly instead of hanging
         # 5 phases × 2 × 3600 s on a dead tunnel. Self-recorded numbers
         # from the last good run live in BENCH_SELF files.
-        print(json.dumps({
+        err = {
             "metric": "semg_train_windows_per_sec_per_chip",
             "value": 0.0,
             "unit": "windows/s",
             "vs_baseline": 0.0,
             "bench_error": f"jax backend unavailable after {wait_s} s of "
                            "probing (axon tunnel down); last good "
-                           "self-recorded run: BENCH_SELF_r03.json",
-        }))
+                           "self-recorded run: BENCH_SELF_r04.json",
+        }
+        print(json.dumps(err), flush=True)
+        print(json.dumps(_compact_record(err)), flush=True)
         return
     for i, phase in enumerate(PHASES):
         elapsed = time.monotonic() - t_start
@@ -919,20 +994,57 @@ def main():
                   f"({elapsed:.0f} s); skipping {PHASES[i:]}",
                   file=sys.stderr)
             break
-        merged.update(_run_phase_subprocess(phase))
+        res = _run_phase_subprocess(phase)
+        if phase == "eval":
+            res = _eval_with_retry(res, t_start, budget_s)
+        merged.update(res)
         # Partial-record discipline: after EVERY phase, print the full
-        # merged-so-far contract line (flushed). A driver that kills this
-        # process mid-run still finds a parseable record with whatever
-        # phases completed — the last stdout line is always the most
-        # complete one (BENCH_r03.json was voided for lack of exactly
-        # this). The final line below is the complete record.
+        # merged-so-far contract line (flushed), followed by its compact
+        # form. A driver that kills this process mid-run still finds a
+        # parseable record with whatever phases completed — the last
+        # COMPLETE stdout line is always compact enough for any tail
+        # capture (BENCH_r03.json and BENCH_r04.json were each voided by
+        # exactly the two failure modes this guards). The final emit
+        # below is the complete record.
         if i < len(PHASES) - 1:
-            partial = _contract_record(merged)
-            partial["partial"] = True
-            partial["phases_done"] = list(PHASES[:i + 1])
-            print(json.dumps(partial), flush=True)
+            _emit_record(merged, phases_done=list(PHASES[:i + 1]))
 
-    print(json.dumps(_contract_record(merged)))
+    _emit_record(merged)
+
+
+def _eval_with_retry(first: dict, t_start: float, budget_s: float) -> dict:
+    """Round-5 eval-regime policy (VERDICT r4 task 2): the eval headline
+    is bimodal across runs depending on the axon SERVER's dispatch regime,
+    which outlives client processes — round 4's self-bench drew 7.0 M w/s
+    (degraded) while the driver's run the same day on the same chip drew
+    22.3 M (fast). The record must be a policy, not an environment draw:
+    when the first attempt classifies "degraded", re-run the eval phase in
+    a fresh subprocess up to 2 more times (wall-clock budget permitting)
+    and headline the best-classified attempt. Every attempt's throughput,
+    regime, and RTT marker is recorded in eval_attempts."""
+    attempts = [first]
+    while (attempts[-1].get("eval_dispatch_regime") == "degraded"
+           and len(attempts) < 3
+           and time.monotonic() - t_start < 0.85 * budget_s):
+        print(f"eval attempt {len(attempts)} classified degraded; "
+              "retrying in a fresh subprocess for the fast regime",
+              file=sys.stderr)
+        attempts.append(_run_phase_subprocess("eval"))
+
+    def _score(a: dict):
+        return (a.get("eval_dispatch_regime") == "fast",
+                a.get("eval_windows_per_sec") or 0.0)
+
+    best = dict(max(attempts, key=_score))
+    if len(attempts) > 1:
+        best["eval_attempts"] = [
+            {"wps": a.get("eval_windows_per_sec"),
+             "regime": a.get("eval_dispatch_regime"),
+             "rtt_ms": a.get("eval_rtt_null_p50_ms"),
+             **({"error": str(a[k])[:160]} if (k := next(
+                 (k for k in a if k.endswith("_error")), None)) else {})}
+            for a in attempts]
+    return best
 
 
 def _contract_record(merged: dict) -> dict:
@@ -946,6 +1058,15 @@ def _contract_record(merged: dict) -> dict:
         "vs_baseline": round(train_wps / REFERENCE_BASELINE_WPS, 2),
     }
     out.update(merged)
+
+    # Estimator labels (VERDICT r4 task 6): every *_windows_per_sec key
+    # must carry a sibling *_headline_stat naming its estimator; backfill
+    # from HEADLINE_STATS so a phase that forgot still ships labeled.
+    for k in list(out):
+        if k.endswith("_windows_per_sec") and out[k]:
+            base = k[: -len("_windows_per_sec")]
+            out.setdefault(f"{base}_headline_stat",
+                           HEADLINE_STATS.get(base, "UNSPECIFIED"))
 
     # ---- MFU (utils/flops.py): achieved FLOP/s vs the chip's bf16 peak ----
     from contrastiveprosthetics_tpu.utils.flops import (
