@@ -454,6 +454,14 @@ class BatchedStreamingEngine:
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
                 f"{mesh.shape['dp']}"
             )
+        if session_block is not None and session_block < 1:
+            # a <=0 override would pass ceil_to_sublane unchanged and land
+            # in the shared-chain-too-big fallback branch, whose diagnostic
+            # blames VMEM instead of the bad parameter
+            raise ValueError(
+                f"session_block must be >= 1 (got {session_block}); pass "
+                "None for the auto VMEM-census block"
+            )
         self.n_sessions = n_sessions
         # the inner engine only supplies the XLA `_tick` for vmapping and
         # shared preprocessing/folding helpers — never its own fused chain

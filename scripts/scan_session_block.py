@@ -10,9 +10,14 @@ K=3 and K=10 (negative slopes print as nan, never published).
     done
 
 Recorded v5e scan at S=32768 (f32 reference-width model, 2026-08-20):
-16 → 11.54, 32 → 9.35, 40 → 8.59, 48 → 8.42, 56 → 7.58 (the calibrated
-auto gate), 64 → 6.08 ms/tick, 72 → Mosaic scoped-vmem OOM (+140 KB over
-the 16.00 MB stack). See docs/SCALING.md "Session-block tuning".
+16 → 11.54, 32 → 9.35, 40 → 8.59, 48 → 8.42, 56 → 7.58, 64 → 6.08
+ms/tick, 72 → Mosaic scoped-vmem OOM (+140 KB over the 16.00 MB stack).
+56/64 are OPT-IN tuned blocks (`session_block=` kwarg); the auto gate
+resolves to the worst-case census block (32 at reference width) because
+Sb=56 fails to compile at other S (docs/serve_phase_r04_sb56.json). A
+bench-phase re-measurement of Sb=56 at the S=32768 capacity point read
+6.76 ms/tick — slightly better than this scan's 7.58, both recorded in
+docs/SCALING.md "Session-block tuning".
 """
 from __future__ import annotations
 

@@ -67,9 +67,9 @@ assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "chain votes diverge"
 # BN affines) vs the vmapped XLA scan, with one session calibrated
 from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
 S = 8
-mkb = lambda fused: BatchedStreamingEngine(CFG, model, variables,
+mkb = lambda fused, **kw: BatchedStreamingEngine(CFG, model, variables,
     emg_mean=np.zeros(12, np.float32), emg_std=np.ones(12, np.float32),
-    n_sessions=S, use_fused_encoder=fused)
+    n_sessions=S, use_fused_encoder=fused, **kw)
 bx, bf = mkb(False), mkb(True)
 calib = (rng.standard_normal((2000, 12)) * 4 + 2).astype(np.float32)
 bx.calibrate_session(1, calib); bf.calibrate_session(1, calib)
@@ -80,10 +80,11 @@ assert np.array_equal(np.asarray(p_x), np.asarray(p_f)), "batched preds diverge"
 assert np.array_equal(np.asarray(v_x), np.asarray(v_f)), "batched votes diverge"
 
 # §4 session-BLOCKED grid (round 4: capacity beyond the VMEM gate) — force
-# a 3-block geometry (20 sessions, block 8, pad in the last) vs XLA
+# a 3-block geometry (20 sessions, block 8, pad in the last) vs XLA,
+# through the PUBLIC session_block override so its sublane/shard clamping
+# is exercised on hardware too (ADVICE r4)
 S = 20
-bx, bf = mkb(False), mkb(True)
-bf._session_block = 8
+bx, bf = mkb(False), mkb(True, session_block=8)
 bx.calibrate_session(13, calib); bf.calibrate_session(13, calib)
 blocks_b = rng.standard_normal((20, S, CFG.factor, 12)).astype(np.float32) * 2.0
 c_x, c_f = bx.init_carries(), bf.init_carries()

@@ -442,6 +442,32 @@ def test_batched_fused_session_blocking_engages():
     assert eng._session_block % 8 == 0
 
 
+def test_batched_rejects_nonpositive_session_block():
+    """ADVICE r4: session_block <= 0 must fail at the constructor naming
+    the parameter — not fall through ceil_to_sublane into the VMEM
+    fallback branch whose diagnostic blames the weight chain."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    for bad in (0, -8):
+        with pytest.raises(ValueError, match="session_block"):
+            BatchedStreamingEngine(
+                CFG, model, variables,
+                emg_mean=np.zeros(12, np.float32),
+                emg_std=np.ones(12, np.float32),
+                n_sessions=16,
+                use_fused_encoder=True,
+                session_block=bad,
+            )
+
+
 def test_batched_fused_rejects_vmem_overflow():
     """Session blocking cannot shrink the SHARED weight chain: a model
     whose chain alone busts the VMEM budget must still fail loudly at
