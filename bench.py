@@ -420,6 +420,10 @@ def phase_serve() -> dict:
     # 65,536 closes the XLA curve from above: 32,768 measured ~8 ms
     # (round 3), so the next doubling brackets the XLA ceiling.
     out["serve_capacity_curve_ms"] = {"xla": {}, "fused": {}}
+    # round 5: auto session blocks are now compile-probed per S (the
+    # tuned 2x/1.75x-census candidates, census fallback) — record what
+    # each S actually ran with, and where the block came from
+    out["serve_capacity_fused_block"] = {}
     largest_ok = None
     for S_big in (1024, 4096, 16384, 32768, 65536):
         best_leg = None
@@ -443,6 +447,11 @@ def phase_serve() -> dict:
                             tb.get(("big", K), float("inf")), t
                         )
                 us = slope_us(tb, "big", 3, 10)
+                if fused:
+                    out["serve_capacity_fused_block"][str(S_big)] = (
+                        f"{big._session_block} "
+                        f"({big._session_block_source})"
+                    )
                 del big
             except Exception as e:  # OOM / compile failure: record it
                 out["serve_capacity_curve_ms"][leg][str(S_big)] = (

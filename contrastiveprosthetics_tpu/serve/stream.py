@@ -42,6 +42,12 @@ from contrastiveprosthetics_tpu.config import Config
 from contrastiveprosthetics_tpu.models.clip import ContrastiveModel
 from contrastiveprosthetics_tpu.ops.signal import butter_bandpass_sos
 
+# Process-wide verdict cache for the tuned-session-block compile probe
+# (round 5): (n_sessions, census block, weight-chain signature) → winning
+# tuned block, or 0 when every candidate failed to compile. One probe per
+# geometry per process, no matter how many engines are constructed.
+_TUNED_BLOCK_VERDICTS: dict = {}
+
 
 @functools.lru_cache(maxsize=8)
 def _calibration_pass(model: ContrastiveModel):
@@ -440,15 +446,19 @@ class BatchedStreamingEngine:
         sessions — 10-53×); on CPU the vmapped XLA chain. Per-tick
         :meth:`step` stays on the vmapped XLA tick either way.
 
-        ``session_block``: rows per §4 session block (None → the largest
-        sublane-aligned block the worst-case VMEM census admits — safe at
-        ANY session count, because Mosaic's scoped-vmem need grows as the
-        block COUNT shrinks: round-4 OOM dumps show Sb=56 fitting at
-        J=586 blocks but overflowing at J=74). The measured S=32768
-        optima for the reference-width f32 model on v5e are 56 → 6.76
-        and 64 → 6.08 ms/tick (vs 8.56 at the auto 32); an explicit
-        over-budget choice fails at Mosaic compile time, not here. Scan
-        + guidance in docs/SCALING.md "Session-block tuning"."""
+        ``session_block``: rows per §4 session block. None (auto) starts
+        from the largest sublane-aligned block the worst-case VMEM census
+        admits — safe at ANY session count, because Mosaic's scoped-vmem
+        need grows as the block COUNT shrinks (round-4 OOM dumps: Sb=56
+        fits at J=586 blocks but overflows at J=74) — then, on TPU,
+        COMPILE-PROBES the scan-optimal larger candidates (2×/1.75×
+        census) on the first ``steps`` call and keeps the largest that
+        compiles (round 5: the S=32768 optima are 56 → 6.76 and 64 →
+        6.08 ms/tick vs 8.56 at census 32 — a 21-29 % win auto now
+        captures where Mosaic admits it). An explicit value skips the
+        probe; an over-budget explicit choice fails at Mosaic compile
+        time, not here. Scan + guidance in docs/SCALING.md
+        "Session-block tuning"."""
         if mesh is not None and n_sessions % mesh.shape["dp"] != 0:
             raise ValueError(
                 f"n_sessions={n_sessions} must divide by the mesh dp size "
@@ -500,6 +510,8 @@ class BatchedStreamingEngine:
         else:
             auto = False
         self._use_fused = bool(use_fused_encoder)
+        self._sb_tuned_candidates: tuple = ()
+        self._session_block_source: Optional[str] = None
         if self._use_fused:
             from contrastiveprosthetics_tpu.ops.pallas_ops import (
                 fold_encoder_params_shared_jit,
@@ -595,6 +607,30 @@ class BatchedStreamingEngine:
                     "the weight chain) or drop use_fused_encoder (the "
                     "vmapped XLA tick has no session limit)"
                 )
+            # Round-5 tuned-block candidates (VERDICT r4 task 4): the
+            # census block is safe at every S but measured 21 % slower at
+            # the 32,768-session capacity point than the scan optima
+            # (56 → 6.76, 64 → 6.08 vs 8.56 ms/tick at census 32).
+            # Larger blocks cannot be promoted statically — Mosaic's
+            # scoped-vmem need grows as the block count J shrinks, so the
+            # same Sb that fits at one S fails to compile at another
+            # (docs/serve_phase_r04_sb56.json). Auto therefore records
+            # candidates here (2× and 1.75× census, descending) and
+            # COMPILE-PROBES them lazily on the first fused steps() call;
+            # the first to compile wins, census is the fallback.
+            self._session_block_source = (
+                "override" if session_block is not None else "census")
+            if (session_block is None and self._use_fused
+                    and self._session_block > 0):
+                cap = ceil_to_sublane(n_local)
+                cands = []
+                for c in (2 * self._session_block,
+                          7 * self._session_block // 4 // 8 * 8):
+                    c = min(ceil_to_sublane(c), cap)
+                    if c > self._session_block and c not in cands:
+                        cands.append(c)
+                self._sb_tuned_candidates = tuple(
+                    sorted(cands, reverse=True))
         if self._use_fused:
             self._refresh_affines()
             if mesh is None:
@@ -607,6 +643,69 @@ class BatchedStreamingEngine:
                 self._chain_b_jit = self._build_sharded_chain(
                     mesh, fused_tick_chain_batched
                 )
+
+    def _maybe_probe_tuned_block(self, args) -> None:
+        """Resolve the auto session block via compile probe (round 5).
+
+        AOT lower+compile each tuned candidate (largest first) — compile
+        verdict only: nothing executes, donated buffers are untouched.
+        The first candidate that compiles becomes the session block; if
+        every candidate hits Mosaic's scoped-vmem wall, the worst-case
+        census block stands. Verdicts are cached process-wide per
+        (n_sessions, census block, weight-chain signature) so repeated
+        engines pay one probe. Interpret-mode (CPU) engines skip probing
+        — no Mosaic compiler, nothing to gain — unless
+        CPTPU_PROBE_TUNED_INTERPRET=1 (test hook)."""
+        import os
+        import sys
+
+        from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+        cands, self._sb_tuned_candidates = self._sb_tuned_candidates, ()
+        if not on_tpu() and not os.environ.get(
+                "CPTPU_PROBE_TUNED_INTERPRET"):
+            return
+        key = (self.n_sessions, self._session_block,
+               tuple((tuple(a.shape), str(a.dtype))
+                     for a in self._shared))
+        verdict = _TUNED_BLOCK_VERDICTS.get(key)
+        if verdict is None:
+            verdict = 0
+            for sb in cands:
+                try:
+                    self._lower_compile_probe(args, sb)
+                except Exception as e:
+                    print(
+                        f"BatchedStreamingEngine: tuned session_block={sb}"
+                        f" failed to compile at S={self.n_sessions} "
+                        f"({str(e)[:160]}); "
+                        + ("trying the next candidate"
+                           if sb != cands[-1] else "keeping the census "
+                           f"block {self._session_block}"),
+                        file=sys.stderr,
+                    )
+                    continue
+                verdict = sb
+                break
+            _TUNED_BLOCK_VERDICTS[key] = verdict
+        if verdict:
+            self._session_block = verdict
+            self._session_block_source = "tuned-probe"
+
+    def _lower_compile_probe(self, args, sb: int) -> None:
+        """AOT lower+compile of the fused chain at session block ``sb``."""
+        from contrastiveprosthetics_tpu.ops.pallas_ops import on_tpu
+
+        if self._mesh is None:
+            self._chain_b_jit.lower(*args, not on_tpu(), sb).compile()
+        else:
+            # the sharded chain reads self._session_block at trace time
+            prev = self._session_block
+            self._session_block = sb
+            try:
+                self._chain_b_jit.lower(*args).compile()
+            finally:
+                self._session_block = prev
 
     def _refresh_affines(self) -> None:
         """Per-session BN affine vectors for the §4 kernel; re-derived
@@ -812,6 +911,8 @@ class BatchedStreamingEngine:
                 self._single._mean, self._single._std,
                 self._shared, self._affines,
             )
+            if self._sb_tuned_candidates:
+                self._maybe_probe_tuned_block(args)
             (iir, tail, votes, n_seen), preds, vote_preds = (
                 self._chain_b_jit(*args) if self._mesh is not None
                 else self._chain_b_jit(*args, not on_tpu(),

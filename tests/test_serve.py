@@ -442,6 +442,157 @@ def test_batched_fused_session_blocking_engages():
     assert eng._session_block % 8 == 0
 
 
+def _full_width_fused_engine(S, **kw):
+    """Reference-width fused engine (census block < S, so the round-5
+    tuned-block candidates are populated). Construction only — callers
+    must not run the full-width interpret kernel."""
+    from contrastiveprosthetics_tpu.serve.stream import BatchedStreamingEngine
+
+    model = ContrastiveModel(d_e=16, adabn=False, n_classes=CFG.max_tasks)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((2, CFG.max_tasks, 12)),
+        jnp.zeros((2, CFG.max_tasks, 20)),
+        0.5, 0.5, True,
+    )
+    return BatchedStreamingEngine(
+        CFG, model, variables,
+        emg_mean=np.zeros(12, np.float32),
+        emg_std=np.ones(12, np.float32),
+        n_sessions=S,
+        use_fused_encoder=True, **kw,
+    )
+
+
+def test_tuned_block_candidates_computed():
+    """Round 5 (VERDICT r4 task 4): an auto-block fused engine whose
+    census block is smaller than the session shard records descending,
+    sublane-aligned tuned candidates strictly larger than the census."""
+    eng = _full_width_fused_engine(512)
+    census = eng._session_block
+    assert eng._session_block_source == "census"
+    assert eng._sb_tuned_candidates, "expected tuned candidates"
+    assert list(eng._sb_tuned_candidates) == sorted(
+        eng._sb_tuned_candidates, reverse=True)
+    for c in eng._sb_tuned_candidates:
+        assert c > census and c % 8 == 0 and c <= 512
+    assert eng._sb_tuned_candidates[0] == 2 * census
+
+
+def test_tuned_block_candidates_skipped_for_override_and_small_S():
+    eng = _full_width_fused_engine(512, session_block=40)
+    assert eng._session_block == 40
+    assert eng._session_block_source == "override"
+    assert eng._sb_tuned_candidates == ()
+    # S small enough that census == shard: nothing larger to try
+    eng_small = _full_width_fused_engine(16)
+    assert eng_small._sb_tuned_candidates == ()
+
+
+def test_tuned_block_probe_keeps_largest_that_compiles(monkeypatch, capsys):
+    """Forced-failure fixture: the largest candidate fails to compile
+    (the Mosaic scoped-vmem wall), the next compiles — the engine keeps
+    it, stamps the source, and caches the verdict process-wide."""
+    from contrastiveprosthetics_tpu.serve import stream
+
+    monkeypatch.setattr(stream, "_TUNED_BLOCK_VERDICTS", {})
+    monkeypatch.setenv("CPTPU_PROBE_TUNED_INTERPRET", "1")
+    eng = _full_width_fused_engine(512)
+    census = eng._session_block
+    cands = eng._sb_tuned_candidates
+    probed = []
+
+    def fake_probe(args, sb):
+        probed.append(sb)
+        if sb == cands[0]:
+            raise RuntimeError("Mosaic scoped vmem overflow (fixture)")
+
+    monkeypatch.setattr(eng, "_lower_compile_probe", fake_probe)
+    eng._maybe_probe_tuned_block(args=None)
+    assert probed == list(cands[:2])
+    assert eng._session_block == cands[1]
+    assert eng._session_block_source == "tuned-probe"
+    assert eng._sb_tuned_candidates == ()  # probe is one-shot
+    key = next(iter(stream._TUNED_BLOCK_VERDICTS))
+    assert stream._TUNED_BLOCK_VERDICTS[key] == cands[1]
+    assert key[0] == 512 and key[1] == census
+    assert "failed to compile" in capsys.readouterr().err
+
+
+def test_tuned_block_probe_all_fail_keeps_census(monkeypatch, capsys):
+    from contrastiveprosthetics_tpu.serve import stream
+
+    monkeypatch.setattr(stream, "_TUNED_BLOCK_VERDICTS", {})
+    monkeypatch.setenv("CPTPU_PROBE_TUNED_INTERPRET", "1")
+    eng = _full_width_fused_engine(512)
+    census = eng._session_block
+
+    def fail(args, sb):
+        raise RuntimeError("RESOURCE_EXHAUSTED (fixture)")
+
+    monkeypatch.setattr(eng, "_lower_compile_probe", fail)
+    eng._maybe_probe_tuned_block(args=None)
+    assert eng._session_block == census
+    assert eng._session_block_source == "census"
+    assert list(stream._TUNED_BLOCK_VERDICTS.values()) == [0]
+    assert "keeping the census block" in capsys.readouterr().err
+
+
+def test_tuned_block_verdict_cache_skips_reprobe(monkeypatch):
+    """A second engine at the same geometry takes the cached verdict
+    without compiling anything."""
+    from contrastiveprosthetics_tpu.serve import stream
+
+    monkeypatch.setattr(stream, "_TUNED_BLOCK_VERDICTS", {})
+    monkeypatch.setenv("CPTPU_PROBE_TUNED_INTERPRET", "1")
+    eng = _full_width_fused_engine(512)
+    cands = eng._sb_tuned_candidates
+    monkeypatch.setattr(eng, "_lower_compile_probe", lambda args, sb: None)
+    eng._maybe_probe_tuned_block(args=None)
+    assert eng._session_block == cands[0]
+
+    eng2 = _full_width_fused_engine(512)
+    monkeypatch.setattr(
+        eng2, "_lower_compile_probe",
+        lambda args, sb: (_ for _ in ()).throw(
+            AssertionError("re-probed a cached geometry")))
+    eng2._maybe_probe_tuned_block(args=None)
+    assert eng2._session_block == cands[0]
+    assert eng2._session_block_source == "tuned-probe"
+
+
+def test_tuned_block_probe_noop_in_interpret_mode(monkeypatch):
+    """On CPU (interpret kernels, no Mosaic) auto keeps the census block
+    and never attempts a probe compile."""
+    eng = _full_width_fused_engine(512)
+    census = eng._session_block
+    monkeypatch.setattr(
+        eng, "_lower_compile_probe",
+        lambda args, sb: (_ for _ in ()).throw(
+            AssertionError("probed in interpret mode")))
+    eng._maybe_probe_tuned_block(args=None)
+    assert eng._session_block == census
+    assert eng._sb_tuned_candidates == ()
+
+
+def test_steps_triggers_probe_once(monkeypatch, rng):
+    """The probe hook fires on the first fused steps() call and is
+    cleared afterwards (narrow model: candidates forced)."""
+    _, eng_f = _fresh_batched_pair(4)
+    calls = []
+    eng_f._sb_tuned_candidates = (16,)
+    monkeypatch.setattr(
+        eng_f, "_maybe_probe_tuned_block",
+        lambda args: (calls.append(1),
+                      setattr(eng_f, "_sb_tuned_candidates", ())))
+    blocks = rng.standard_normal((2, 4, CFG.factor, 12)).astype(np.float32)
+    c = eng_f.init_carries()
+    c, _, _ = eng_f.steps(c, blocks)
+    c, _, _ = eng_f.steps(c, blocks)
+    assert calls == [1]
+
+
 def test_batched_rejects_nonpositive_session_block():
     """ADVICE r4: session_block <= 0 must fail at the constructor naming
     the parameter — not fall through ceil_to_sublane into the VMEM
