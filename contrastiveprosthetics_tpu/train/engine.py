@@ -209,12 +209,18 @@ class Trainer:
             #   bs=8 f32 −13 %, bs=128 bf16 −27 % (4.94 vs 6.74 M
             #   windows/s median), bs=256 −8 %, bs=512 −22 %,
             #   bs=D=1800 −14 %.
-            # The per-block kernel choreography (7 fwd + 7 bwd
-            # pallas_calls per step — block j+1's input affine needs
-            # block j's full-batch statistics, so the stages can't
-            # collapse) costs more than the 252 µs/step of BN-stat
-            # re-reads it eliminates. The fusion is real per-byte (XLA's
-            # convert_reduce_fusion 19.4 % → 1.9 % at bs=D) and the
+            # Round 5 CLOSED the question with direct measurement
+            # (docs/pallas_call_overhead_r05.json +
+            # fused_chain_decompose_r05.json, SCALING.md round-5
+            # closure): the round-4 "14 calls of choreography"
+            # attribution is REFUTED — fixed pallas_call cost is
+            # 0.7 µs, the real call→stat-glue→call dependency pattern
+            # 4.9 µs/call, so all 14 calls cost ≤ 68 µs of the
+            # 208-284 µs gap; a reduced-call variant cannot win. The
+            # deficit is in-kernel Mosaic codegen quality: fwd −52 µs,
+            # bwd −156 µs (≈22 µs/block, the wgrad/reduction epilogue)
+            # vs XLA at identical math. The fusion is real per-byte
+            # (convert_reduce_fusion 19.4 % → 1.9 % at bs=D) and the
             # chain+hardware-PRNG beats a THREEFRY XLA leg at bs=D by
             # +12 % — the recorded escape hatch for threefry-pinned
             # huge-batch configs. Set True to select explicitly
