@@ -512,6 +512,7 @@ class BatchedStreamingEngine:
         self._use_fused = bool(use_fused_encoder)
         self._sb_tuned_candidates: tuple = ()
         self._session_block_source: Optional[str] = None
+        self._sb_census: Optional[int] = None
         if self._use_fused:
             from contrastiveprosthetics_tpu.ops.pallas_ops import (
                 fold_encoder_params_shared_jit,
@@ -665,9 +666,8 @@ class BatchedStreamingEngine:
         if not on_tpu() and not os.environ.get(
                 "CPTPU_PROBE_TUNED_INTERPRET"):
             return
-        key = (self.n_sessions, self._session_block,
-               tuple((tuple(a.shape), str(a.dtype))
-                     for a in self._shared))
+        self._sb_census = self._session_block
+        key = self._verdict_key()
         verdict = _TUNED_BLOCK_VERDICTS.get(key)
         if verdict is None:
             verdict = 0
@@ -691,6 +691,11 @@ class BatchedStreamingEngine:
         if verdict:
             self._session_block = verdict
             self._session_block_source = "tuned-probe"
+
+    def _verdict_key(self):
+        return (self.n_sessions, self._sb_census,
+                tuple((tuple(a.shape), str(a.dtype))
+                      for a in self._shared))
 
     def _lower_compile_probe(self, args, sb: int) -> None:
         """AOT lower+compile of the fused chain at session block ``sb``."""
@@ -913,11 +918,40 @@ class BatchedStreamingEngine:
             )
             if self._sb_tuned_candidates:
                 self._maybe_probe_tuned_block(args)
-            (iir, tail, votes, n_seen), preds, vote_preds = (
-                self._chain_b_jit(*args) if self._mesh is not None
-                else self._chain_b_jit(*args, not on_tpu(),
-                                       self._session_block)
+            call = (
+                (lambda: self._chain_b_jit(*args))
+                if self._mesh is not None
+                else (lambda: self._chain_b_jit(
+                    *args, not on_tpu(), self._session_block))
             )
+            try:
+                (iir, tail, votes, n_seen), preds, vote_preds = call()
+            except Exception as e:
+                # Execution-time fallback (round 5): the compile probe
+                # runs at the FIRST call's tick count, but Mosaic's
+                # scoped-vmem verdict can differ at another K (observed:
+                # S=1024 Sb=64 compiled at K=3, HTTP 500 at K=10), and a
+                # tuned block can also lose at execute time
+                # (RESOURCE_EXHAUSTED at S=65536). A probe-promoted
+                # block must never sink the engine: demote to the census
+                # block, poison the cached verdict, retry once. Explicit
+                # overrides still fail loudly.
+                if (self._session_block_source != "tuned-probe"
+                        or self._sb_census is None):
+                    raise
+                import sys
+
+                print(
+                    f"BatchedStreamingEngine: tuned session_block="
+                    f"{self._session_block} failed at call time "
+                    f"({str(e)[:160]}); demoting to the census block "
+                    f"{self._sb_census}",
+                    file=sys.stderr,
+                )
+                _TUNED_BLOCK_VERDICTS[self._verdict_key()] = 0
+                self._session_block = self._sb_census
+                self._session_block_source = "census(runtime-fallback)"
+                (iir, tail, votes, n_seen), preds, vote_preds = call()
             return (StreamCarry(iir, tail, votes, n_seen), preds,
                     vote_preds)
         if self._mesh is not None:

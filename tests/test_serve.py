@@ -593,6 +593,51 @@ def test_steps_triggers_probe_once(monkeypatch, rng):
     assert calls == [1]
 
 
+def test_tuned_block_runtime_fallback_demotes_to_census(monkeypatch, rng):
+    """A probe-promoted block that fails at CALL time (the probe runs at
+    the first call's K; Mosaic can verdict differently at another K —
+    observed on hardware at S=1024) demotes to the census block, poisons
+    the cached verdict, and the retried call succeeds."""
+    from contrastiveprosthetics_tpu.serve import stream
+
+    monkeypatch.setattr(stream, "_TUNED_BLOCK_VERDICTS", {})
+    eng_x, eng_f = _fresh_batched_pair(4)
+    eng_f._sb_census = eng_f._session_block
+    eng_f._session_block_source = "tuned-probe"
+    orig = eng_f._chain_b_jit
+    n_calls = []
+
+    def flaky(*a):
+        n_calls.append(1)
+        if len(n_calls) == 1:
+            raise RuntimeError("Mosaic scoped vmem overflow (fixture)")
+        return orig(*a)
+
+    eng_f._chain_b_jit = flaky
+    blocks = rng.standard_normal((2, 4, CFG.factor, 12)).astype(np.float32)
+    c_x, c_f = eng_x.init_carries(), eng_f.init_carries()
+    c_x, p_x, v_x = eng_x.steps(c_x, blocks)
+    c_f, p_f, v_f = eng_f.steps(c_f, blocks)
+    assert len(n_calls) == 2  # failed once, retried once
+    assert np.array_equal(np.asarray(p_x), np.asarray(p_f))
+    assert eng_f._session_block_source == "census(runtime-fallback)"
+    assert list(stream._TUNED_BLOCK_VERDICTS.values()) == [0]
+
+
+def test_tuned_block_runtime_failure_without_probe_raises(monkeypatch, rng):
+    """An explicit override (or census block) failing at call time must
+    surface, not silently demote."""
+    _, eng_f = _fresh_batched_pair(4, session_block=8)
+
+    def boom(*a):
+        raise RuntimeError("kernel failed (fixture)")
+
+    eng_f._chain_b_jit = boom
+    blocks = rng.standard_normal((1, 4, CFG.factor, 12)).astype(np.float32)
+    with pytest.raises(RuntimeError, match="kernel failed"):
+        eng_f.steps(eng_f.init_carries(), blocks)
+
+
 def test_batched_rejects_nonpositive_session_block():
     """ADVICE r4: session_block <= 0 must fail at the constructor naming
     the parameter — not fall through ceil_to_sublane into the VMEM
