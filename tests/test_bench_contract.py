@@ -196,16 +196,21 @@ def test_eval_retry_until_fast(monkeypatch):
              {"eval_windows_per_sec": 2.2e7, "eval_dispatch_regime":
               "fast", "eval_rtt_null_p50_ms": 27.0}]
     monkeypatch.setattr(b, "_run_phase_subprocess",
-                        lambda phase: draws.pop(0))
+                        lambda phase, **kw: draws.pop(0))
     first = {"eval_windows_per_sec": 7.0e6,
              "eval_dispatch_regime": "degraded",
-             "eval_rtt_null_p50_ms": 29.4}
+             "eval_rtt_null_p50_ms": 29.4,
+             "eval_encoder_ab": {"xla": 7.0e6, "fused": 6.8e6}}
     out = b._eval_with_retry(first, t_start=__import__("time").monotonic(),
                              budget_s=1e9)
     assert out["eval_windows_per_sec"] == 2.2e7
     assert out["eval_dispatch_regime"] == "fast"
     assert [a["regime"] for a in out["eval_attempts"]] == [
         "degraded", "degraded", "fast"]
+    # headline-only retries: the first attempt's A/B grid must survive
+    # the overlay, labeled with where it was measured
+    assert out["eval_encoder_ab"] == {"xla": 7.0e6, "fused": 6.8e6}
+    assert out["eval_ab_measured_at_attempt"] == 1
 
 
 def test_eval_retry_three_degraded_picks_best(monkeypatch):
@@ -218,7 +223,7 @@ def test_eval_retry_three_degraded_picks_best(monkeypatch):
              {"eval_windows_per_sec": 1.1e7,
               "eval_dispatch_regime": "degraded"}]
     monkeypatch.setattr(b, "_run_phase_subprocess",
-                        lambda phase: draws.pop(0))
+                        lambda phase, **kw: draws.pop(0))
     out = b._eval_with_retry({"eval_windows_per_sec": 7.0e6,
                               "eval_dispatch_regime": "degraded"},
                              t_start=__import__("time").monotonic(),
@@ -232,7 +237,7 @@ def test_eval_no_retry_when_fast(monkeypatch):
     b = _bench()
     monkeypatch.setattr(
         b, "_run_phase_subprocess",
-        lambda phase: (_ for _ in ()).throw(AssertionError("retried")))
+        lambda phase, **kw: (_ for _ in ()).throw(AssertionError("retried")))
     first = {"eval_windows_per_sec": 2.2e7, "eval_dispatch_regime": "fast"}
     out = b._eval_with_retry(first, t_start=0.0, budget_s=1e9)
     assert out == first  # untouched, no eval_attempts noise
@@ -245,7 +250,7 @@ def test_eval_retry_respects_budget(monkeypatch):
     b = _bench()
     monkeypatch.setattr(
         b, "_run_phase_subprocess",
-        lambda phase: (_ for _ in ()).throw(AssertionError("retried")))
+        lambda phase, **kw: (_ for _ in ()).throw(AssertionError("retried")))
     first = {"eval_windows_per_sec": 7.0e6,
              "eval_dispatch_regime": "degraded"}
     out = b._eval_with_retry(first, t_start=_t.monotonic() - 1000.0,
