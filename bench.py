@@ -425,6 +425,26 @@ def phase_serve() -> dict:
     # each S actually ran with, and where the block came from
     out["serve_capacity_fused_block"] = {}
     largest_ok = None
+    import gc
+
+    def _measure_leg(S_big, fused, blocks_big):
+        big = BatchedStreamingEngine(
+            cfg, model, variables,
+            emg_mean=np.zeros(cfg.emg_dim, np.float32),
+            emg_std=np.ones(cfg.emg_dim, np.float32),
+            n_sessions=S_big,
+            use_fused_encoder=fused,
+        )
+        tb = {}
+        for trial in range(3):
+            for K in (3, 10):
+                t = chain_once(big, blocks_big, K)
+                tb[("big", K)] = min(tb.get(("big", K), float("inf")), t)
+        us = slope_us(tb, "big", 3, 10)
+        block = f"{big._session_block} ({big._session_block_source})"
+        del big
+        return us, block
+
     for S_big in (1024, 4096, 16384, 32768, 65536):
         best_leg = None
         blocks_big = rng.standard_normal(
@@ -432,27 +452,24 @@ def phase_serve() -> dict:
         ).astype(np.float32)
         for leg, fused in (("xla", False), ("fused", True)):
             try:
-                big = BatchedStreamingEngine(
-                    cfg, model, variables,
-                    emg_mean=np.zeros(cfg.emg_dim, np.float32),
-                    emg_std=np.ones(cfg.emg_dim, np.float32),
-                    n_sessions=S_big,
-                    use_fused_encoder=fused,
-                )
-                tb = {}
-                for trial in range(3):
-                    for K in (3, 10):
-                        t = chain_once(big, blocks_big, K)
-                        tb[("big", K)] = min(
-                            tb.get(("big", K), float("inf")), t
-                        )
-                us = slope_us(tb, "big", 3, 10)
+                try:
+                    us, block = _measure_leg(S_big, fused, blocks_big)
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    # at large S the per-session state is GBs and the
+                    # other leg's freed-but-uncollected buffers can tip
+                    # the allocator (r05: fused 65,536 died at
+                    # construction after the XLA leg) — collect and
+                    # retry once before recording a failure
+                    print(f"serve: capacity probe {leg} {S_big:,} "
+                          "RESOURCE_EXHAUSTED; gc + one retry",
+                          file=sys.stderr)
+                    gc.collect()
+                    us, block = _measure_leg(S_big, fused, blocks_big)
                 if fused:
-                    out["serve_capacity_fused_block"][str(S_big)] = (
-                        f"{big._session_block} "
-                        f"({big._session_block_source})"
-                    )
-                del big
+                    out["serve_capacity_fused_block"][str(S_big)] = block
+                gc.collect()
             except Exception as e:  # OOM / compile failure: record it
                 out["serve_capacity_curve_ms"][leg][str(S_big)] = (
                     f"error: {e}"[:160]
