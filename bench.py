@@ -441,7 +441,8 @@ def phase_serve() -> dict:
                 t = chain_once(big, blocks_big, K)
                 tb[("big", K)] = min(tb.get(("big", K), float("inf")), t)
         us = slope_us(tb, "big", 3, 10)
-        block = f"{big._session_block} ({big._session_block_source})"
+        block = (f"{big._session_block} ({big._session_block_source})"
+                 if fused else None)  # XLA engines carry no session block
         del big
         return us, block
 
