@@ -244,7 +244,8 @@ def test_eval_no_retry_when_fast(monkeypatch):
 
 
 def test_eval_retry_respects_budget(monkeypatch):
-    """No retry when 85% of the wall-clock budget is already spent."""
+    """No retry when the remaining budget can't cover a headline-only
+    retry plus the still-unrun serve phase (reserve-aware gate)."""
     import time as _t
 
     b = _bench()
