@@ -12,12 +12,17 @@ K=3 and K=10 (negative slopes print as nan, never published).
 Recorded v5e scan at S=32768 (f32 reference-width model, 2026-08-20):
 16 → 11.54, 32 → 9.35, 40 → 8.59, 48 → 8.42, 56 → 7.58, 64 → 6.08
 ms/tick, 72 → Mosaic scoped-vmem OOM (+140 KB over the 16.00 MB stack).
-56/64 are OPT-IN tuned blocks (`session_block=` kwarg); the auto gate
-resolves to the worst-case census block (32 at reference width) because
-Sb=56 fails to compile at other S (docs/serve_phase_r04_sb56.json). A
-bench-phase re-measurement of Sb=56 at the S=32768 capacity point read
-6.76 ms/tick — slightly better than this scan's 7.58, both recorded in
-docs/SCALING.md "Session-block tuning".
+Since round 5 the auto gate COMPILE-PROBES the tuned candidates
+(2×/1.75× the worst-case census — 64/56 at reference width) on the
+first fused steps() call and keeps the largest that compiles, falling
+back to the census block 32 where Mosaic rejects them (e.g. S=4096;
+docs/serve_phase_r04_sb56.json) and demoting at call time if a promoted
+block later fails (serve/stream.py). `session_block=` remains the
+explicit override. A bench-phase re-measurement of Sb=56 at the S=32768
+capacity point read 6.76 ms/tick — slightly better than this scan's
+7.58; the probed auto gate recorded 6.37-7.10 ms at block 64
+(docs/serve_phase_r05_final.json). All figures in docs/SCALING.md
+"Session-block tuning".
 """
 from __future__ import annotations
 
