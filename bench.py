@@ -446,7 +446,10 @@ def phase_serve() -> dict:
         del big
         return us, block
 
-    for S_big in (1024, 4096, 16384, 32768, 65536):
+    # 49,152 added round 5: the probed-block fused leg measured 9.48 ms
+    # there (within budget) vs 12.75 at 57,344 — the capacity frontier
+    # sits between the 32k and 64k powers, so the ladder samples it
+    for S_big in (1024, 4096, 16384, 32768, 49152, 65536):
         best_leg = None
         blocks_big = rng.standard_normal(
             (S_big, cfg.factor, cfg.emg_dim)
